@@ -1,0 +1,197 @@
+"""Signal-core tests: PQMF round trip, STFT, spectral distance, samplers."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from topo_audio_autoencoder_tpu.ops import (
+    PQMF,
+    multiscale_stft,
+    stft_magnitude,
+    spectral_distance,
+    spectral_distance_matrix_block,
+    binary_gumbel,
+    hard_concrete,
+    straight_through,
+    temperature_schedule,
+    hard_concrete_fused,
+)
+from topo_audio_autoencoder_tpu.ops.pqmf import (
+    _modulate,
+    _np_analysis,
+    _np_synthesis,
+    design_prototype,
+)
+
+
+@pytest.fixture(scope="module")
+def pqmf4():
+    # small band count keeps the host-side design fast in tests
+    return PQMF.create(attenuation=100.0, n_band=4)
+
+
+# ---------------------------------------------------------------- PQMF
+
+
+def test_pqmf_design_quality(pqmf4):
+    # near-perfect reconstruction: the design loop itself must report small
+    # error; 100 dB attenuation should land well below -60 dB.
+    assert pqmf4.recon_error < 1e-3
+
+
+def test_pqmf_roundtrip(pqmf4, rng):
+    t = 4096
+    x = rng.standard_normal((2, 1, t)).astype(np.float32)
+    z = pqmf4.forward(jnp.array(x))
+    assert z.shape == (2, 4, t // 4)
+    y = pqmf4.inverse(z)
+    assert y.shape == x.shape
+    err = np.linalg.norm(np.asarray(y) - x) / np.linalg.norm(x)
+    assert err < 1e-3, f"round-trip relative error {err}"
+
+
+def test_pqmf_matches_numpy_reference(pqmf4, rng):
+    """JAX strided conv == the host-side correlation-semantics reference."""
+    t = 1024
+    x = rng.standard_normal(t).astype(np.float32)
+    ref_z = _np_analysis(x, pqmf4.filters, 4)
+    z = np.asarray(pqmf4.forward(jnp.array(x)[None, None]))[0]
+    np.testing.assert_allclose(z, ref_z, rtol=1e-4, atol=1e-5)
+
+    ref_y = _np_synthesis(ref_z, pqmf4.filters, 4)
+    y = np.asarray(pqmf4.inverse(jnp.array(ref_z)[None]))[0, 0]
+    np.testing.assert_allclose(y, ref_y, rtol=1e-4, atol=1e-4)
+
+
+def test_pqmf_band_separation(pqmf4):
+    """A pure tone in band k's passband concentrates energy in subband k."""
+    t = 8192
+    fs = 2.0  # normalized
+    n = np.arange(t)
+    m = 4
+    for k in range(m):
+        center = (2 * k + 1) / (2 * m) * 0.5  # band center, cycles/sample
+        x = np.sin(2 * np.pi * center * n).astype(np.float32)
+        z = np.asarray(pqmf4.forward(jnp.array(x)[None, None]))[0]
+        energies = (z**2).sum(axis=1)
+        assert energies.argmax() == k
+
+
+# ---------------------------------------------------------------- STFT
+
+
+def test_stft_shapes(rng):
+    x = jnp.array(rng.standard_normal((3, 4096)), dtype=jnp.float32)
+    s = stft_magnitude(x, 512)
+    # centered, hop=128: frames = 4096/128 + 1
+    assert s.shape == (3, 4096 // 128 + 1, 257)
+    specs = multiscale_stft(x, (512, 256))
+    assert len(specs) == 2
+
+
+def test_stft_parseval_sine(rng):
+    """A unit sine's magnitude STFT peaks at the right bin."""
+    t, n_fft = 8192, 1024
+    freq_bin = 100
+    x = np.sin(2 * np.pi * freq_bin * np.arange(t) / n_fft).astype(np.float32)
+    s = np.asarray(stft_magnitude(jnp.array(x)[None], n_fft))[0]
+    mid_frames = s[4:-4]
+    assert np.all(mid_frames.argmax(axis=-1) == freq_bin)
+
+
+def test_spectral_distance_properties(rng):
+    x = jnp.array(rng.standard_normal((2, 4096)), dtype=jnp.float32)
+    y = jnp.array(rng.standard_normal((2, 4096)), dtype=jnp.float32)
+    scales = (512, 256)
+    d_xx = spectral_distance(x, x, scales)
+    d_xy = spectral_distance(x, y, scales)
+    assert d_xx.shape == (2,)
+    np.testing.assert_allclose(np.asarray(d_xx), 0.0, atol=1e-5)
+    assert np.all(np.asarray(d_xy) > 0.1)
+
+
+def test_distance_matrix_block_consistency(rng):
+    """Block pairwise distances == per-pair spectral_distance."""
+    xs = jnp.array(rng.standard_normal((3, 2048)), dtype=jnp.float32)
+    scales = (512, 256)
+    mat = np.asarray(spectral_distance_matrix_block(xs, xs, scales))
+    for i in range(3):
+        for j in range(3):
+            d = float(spectral_distance(xs[i][None], xs[j][None], scales)[0])
+            np.testing.assert_allclose(mat[i, j], d, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.diag(mat), 0.0, atol=1e-5)
+
+
+# ---------------------------------------------------------------- samplers
+
+
+def test_temperature_schedule():
+    assert float(temperature_schedule(0, 5.0, 0.1, 0.95)) == 5.0
+    assert float(temperature_schedule(1000, 5.0, 0.1, 0.95)) == pytest.approx(0.1)
+
+
+def test_binary_gumbel_stats():
+    key = jax.random.PRNGKey(0)
+    n = 20000
+    # logits 0.5 -> 2l-1 = 0 -> expected mean 0.5
+    probs = binary_gumbel(jnp.full((n,), 0.5), key, 1.0, training=True)
+    assert 0.45 < float(probs.mean()) < 0.55
+    assert np.all((np.asarray(probs) >= 0) & (np.asarray(probs) <= 1))
+    # eval: deterministic threshold at 0.5
+    hard = binary_gumbel(jnp.array([0.2, 0.7]), None, 1.0, training=False)
+    np.testing.assert_array_equal(np.asarray(hard), [0.0, 1.0])
+
+
+def test_binary_gumbel_low_temp_saturates():
+    key = jax.random.PRNGKey(1)
+    probs = binary_gumbel(jnp.full((1000,), 3.0), key, 0.01, training=True)
+    assert float(probs.mean()) > 0.95
+
+
+def test_hard_concrete_support():
+    key = jax.random.PRNGKey(2)
+    z = hard_concrete(jnp.zeros(20000), key, 0.5, training=True)
+    z = np.asarray(z)
+    assert np.all((z >= 0) & (z <= 1))
+    # stretch makes exact 0/1 happen with positive probability
+    assert (z == 0).mean() > 0.01
+    assert (z == 1).mean() > 0.01
+    # strongly negative log-alpha -> gates almost surely 0
+    z0 = np.asarray(hard_concrete(jnp.full((5000,), -10.0), key, 0.5, training=True))
+    assert (z0 == 0).mean() > 0.95
+
+
+def test_hard_concrete_fused_cpu_fallback():
+    """On CPU the fused wrapper must dispatch to the pure-JAX sampler."""
+    key = jax.random.PRNGKey(3)
+    z = hard_concrete_fused(jnp.zeros((4, 37)), key, 0.5, training=True)
+    assert z.shape == (4, 37)
+    ref = hard_concrete(jnp.zeros((4, 37)), key, 0.5, training=True)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(ref))
+
+
+def test_straight_through_gradient():
+    def f(x):
+        soft = jax.nn.sigmoid(x)
+        hard = (soft > 0.5).astype(x.dtype)
+        return jnp.sum(straight_through(hard, soft))
+
+    x = jnp.array([0.3, -0.2])
+    val = f(x)
+    g = jax.grad(f)(x)
+    # forward value is hard
+    assert float(val) == 1.0
+    # gradient is the soft sigmoid's
+    expected = jax.nn.sigmoid(x) * (1 - jax.nn.sigmoid(x))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(expected), rtol=1e-6)
+
+
+def test_gumbel_gradients_finite():
+    key = jax.random.PRNGKey(4)
+
+    def loss(l):
+        return jnp.sum(binary_gumbel(l, key, 0.5, training=True) ** 2)
+
+    g = jax.grad(loss)(jnp.linspace(-3, 3, 64))
+    assert np.all(np.isfinite(np.asarray(g)))

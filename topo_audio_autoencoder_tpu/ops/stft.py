@@ -1,0 +1,133 @@
+"""Multiscale magnitude STFT and spectral distances, TPU-native.
+
+Re-implements the behavior of ``rave.core.MultiScaleSTFT(scales=[2048,1024,
+512,256,128], magnitude=True, sample_rate=16000)`` and
+``rave.core.AudioDistanceV1`` used by the reference (loss.py:20-22,
+precompute_distances.py:33-49).
+
+TPU-first framing: torch.stft gathers overlapping frames; gathers are slow
+on TPU. Because hop = n_fft/4 exactly, overlapping frames are produced with
+pure reshapes and static slices — reshape the signal to [frames, hop] and
+concatenate 4 shifted views along the last axis. Zero gathers, zero dynamic
+shapes; the windowing fuses into the rfft's input.
+
+Conventions (self-consistent; documented rather than bit-matching torch):
+- centered frames: reflect-pad n_fft//2 on both sides (torch.stft center=True)
+- Hann window, hop = n_fft // 4
+- 'normalized' magnitudes: divided by sqrt(n_fft), torch.stft(normalized=True)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_SCALES = (2048, 1024, 512, 256, 128)
+
+
+def frame_signal(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
+    """Overlapping frames via reshape+shift (requires n_fft % hop == 0).
+
+    x: [..., T] (T divisible by hop after padding) -> [..., F, n_fft]
+    """
+    if n_fft % hop != 0:
+        raise ValueError("n_fft must be a multiple of hop for reshape framing")
+    ratio = n_fft // hop
+    t = x.shape[-1]
+    # right-pad so T is a multiple of hop
+    pad = (-t) % hop
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    chunks = x.reshape(*x.shape[:-1], -1, hop)  # [..., T/hop, hop]
+    n_chunks = chunks.shape[-2]
+    n_frames = n_chunks - ratio + 1
+    views = [chunks[..., i : i + n_frames, :] for i in range(ratio)]
+    return jnp.concatenate(views, axis=-1)  # [..., F, n_fft]
+
+
+def stft_magnitude(x: jnp.ndarray, n_fft: int, hop: int | None = None) -> jnp.ndarray:
+    """Centered, Hann-windowed, normalized magnitude STFT.
+
+    x: [..., T] -> [..., F, n_fft//2 + 1]
+    """
+    hop = hop or n_fft // 4
+    pad = n_fft // 2
+    x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
+    frames = frame_signal(x, n_fft, hop)
+    window = jnp.asarray(np.hanning(n_fft + 1)[:-1], dtype=x.dtype)
+    spec = jnp.fft.rfft(frames * window, axis=-1)
+    return jnp.abs(spec) / np.sqrt(n_fft)
+
+
+def multiscale_stft(
+    x: jnp.ndarray, scales: tuple[int, ...] = DEFAULT_SCALES
+) -> list[jnp.ndarray]:
+    """Magnitude STFTs at each scale (hop = scale/4). x: [..., T]."""
+    return [stft_magnitude(x, s) for s in scales]
+
+
+def _mean_over_nonbatch(v: jnp.ndarray, batch_ndim: int) -> jnp.ndarray:
+    axes = tuple(range(batch_ndim, v.ndim))
+    return jnp.mean(v, axis=axes)
+
+
+def spectral_distance(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    scales: tuple[int, ...] = DEFAULT_SCALES,
+    log_epsilon: float = 1e-7,
+    batch_ndim: int = 1,
+) -> jnp.ndarray:
+    """Batch-preserving AudioDistanceV1: per scale, relative-L2 on linear
+    magnitudes (normalized by x's energy) + L1 on log magnitudes, summed
+    over scales (precompute_distances.py:11-49). Returns [batch...].
+
+    STFTs are computed in float32 regardless of input dtype: the loss is the
+    training signal and bf16 magnitudes lose too much of the log term.
+    """
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    dist = 0.0
+    for s in scales:
+        sx = stft_magnitude(x, s)
+        sy = stft_magnitude(y, s)
+        lin = _mean_over_nonbatch((sx - sy) ** 2, batch_ndim) / (
+            _mean_over_nonbatch(sx**2, batch_ndim) + 1e-7
+        )
+        log = _mean_over_nonbatch(
+            jnp.abs(jnp.log(sx + log_epsilon) - jnp.log(sy + log_epsilon)), batch_ndim
+        )
+        dist = dist + lin + log
+    return dist
+
+
+@partial(jax.jit, static_argnames=("scales",))
+def spectral_distance_matrix_block(
+    xs: jnp.ndarray, ys: jnp.ndarray, scales: tuple[int, ...] = DEFAULT_SCALES
+) -> jnp.ndarray:
+    """Pairwise spectral distances between two stacks of waveforms.
+
+    xs: [A, T], ys: [B, T] -> [A, B]. Computes each stack's multiscale STFT
+    once and broadcasts the pairwise comparison — the on-device replacement
+    for the reference's Python pair loop (precompute_distances.py:96-115),
+    which recomputed both STFTs for every pair.
+    """
+    xs = xs.astype(jnp.float32)
+    ys = ys.astype(jnp.float32)
+    out = 0.0
+    for s in scales:
+        sx = stft_magnitude(xs, s)  # [A, F, K]
+        sy = stft_magnitude(ys, s)  # [B, F, K]
+        sxe = sx[:, None]  # [A, 1, F, K]
+        sye = sy[None, :]  # [1, B, F, K]
+        lin = jnp.mean((sxe - sye) ** 2, axis=(-1, -2)) / (
+            jnp.mean(sx**2, axis=(-1, -2))[:, None] + 1e-7
+        )
+        log = jnp.mean(
+            jnp.abs(jnp.log(sxe + 1e-7) - jnp.log(sye + 1e-7)), axis=(-1, -2)
+        )
+        out = out + lin + log
+    return out
