@@ -86,12 +86,20 @@ def _np_synthesis(z: np.ndarray, hk: np.ndarray, n_band: int) -> np.ndarray:
 
 
 def _reconstruction_error(h: np.ndarray, n_band: int) -> float:
-    """End-to-end relative L2 reconstruction error on white noise."""
+    """Steady-state relative L2 reconstruction error on white noise.
+
+    Measured over the signal interior only: the first/last 2N samples carry
+    the zero-padding edge transient that any finite conv filterbank has, and
+    including them would swamp the filter-quality signal the cutoff search
+    needs (edge error ~1e-2 vs interior ~1e-4..1e-3).
+    """
     rng = np.random.default_rng(0)
     x = rng.standard_normal(8 * n_band * 64)
     hk = _modulate(h, n_band)
     y = _np_synthesis(_np_analysis(x, hk, n_band), hk, n_band)
-    return float(np.linalg.norm(y - x) / np.linalg.norm(x))
+    n = h.shape[-1]
+    s = slice(2 * n, len(x) - 2 * n)
+    return float(np.linalg.norm(y[s] - x[s]) / np.linalg.norm(x[s]))
 
 
 def design_prototype(attenuation: float, n_band: int) -> tuple[np.ndarray, float]:
