@@ -1,0 +1,123 @@
+"""Autoencoder facade: PQMF -> encoder -> complex -> decoder -> PQMF⁻¹.
+
+TPU-native equivalent of the reference ``AudioAutoencoder``
+(reference: audio2complex.py:18-72), with the SURVEY §2.4.2/5 interface
+fixes: the encoder returns a structured ``EncoderOutput`` and the aux-loss
+dict {'binary_entropy', 'diversity'} is always present; the all-zero-vertex
+``None`` bailout (audio2complex.py:47-48) becomes a ``valid`` flag the
+objective converts into the fixed penalty loss, keeping the whole step
+jittable.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.pqmf import PQMF
+from ..topology.complexes import ComplexTables, build_tables
+from .decoder import AudioDecoder
+from .encoder import AudioEncoder, EncoderOutput, rank_diversity_entropy, vertex_count_penalty
+
+
+class AutoencoderOutput(NamedTuple):
+    waveform: jnp.ndarray  # [B, 1, T] reconstruction
+    aux: dict  # {'binary_entropy': [B], 'diversity': [B]}
+    valid: jnp.ndarray  # [B] bool
+    encoder_output: EncoderOutput
+
+
+class AudioAutoencoder(nn.Module):
+    """Full model. Waveforms are NCW ([B, 1, T]) at the facade boundary to
+    match the reference API; internals are channels-last."""
+
+    tables: ComplexTables
+    pqmf: PQMF
+    num_bands: int = 16
+    sccn_hidden_dim: int = 64
+    min_active_vertices: int = 8
+    max_active_vertices: int = 20
+    hard: bool = False
+    n_sccn_layers: int = 6
+
+    @classmethod
+    def create(
+        cls,
+        num_vertices: int = 20,
+        num_bands: int = 16,
+        sccn_hidden_dim: int = 64,
+        min_active_vertices: int = 8,
+        max_active_vertices: int = 20,
+        hard: bool = False,
+        n_sccn_layers: int = 6,
+        pqmf_attenuation: float = 100.0,
+    ) -> "AudioAutoencoder":
+        """Build tables + filterbank host-side once (audio2complex.py:18-38)."""
+        return cls(
+            tables=build_tables(num_vertices),
+            pqmf=PQMF.create(attenuation=pqmf_attenuation, n_band=num_bands),
+            num_bands=num_bands,
+            sccn_hidden_dim=sccn_hidden_dim,
+            min_active_vertices=min_active_vertices,
+            max_active_vertices=max_active_vertices,
+            hard=hard,
+            n_sccn_layers=n_sccn_layers,
+        )
+
+    def setup(self):
+        self.encoder = AudioEncoder(
+            tables=self.tables,
+            num_bands=self.num_bands,
+            embedding_dim=self.sccn_hidden_dim,
+            hard=self.hard,
+            min_active_vertices=self.min_active_vertices,
+            max_active_vertices=self.max_active_vertices,
+        )
+        self.decoder = AudioDecoder(
+            sccn_hidden_dim=self.sccn_hidden_dim,
+            initial_sequence_length=250,
+            output_channels=self.num_bands,
+            n_sccn_layers=self.n_sccn_layers,
+        )
+
+    def encode(self, x, temperature=1.0, rng=None, train: bool = True):
+        """[B, 1, T] -> EncoderOutput."""
+        bands = self.pqmf.forward(x)  # [B, M, T/M]
+        return self.encoder(
+            jnp.swapaxes(bands, -1, -2), temperature, rng, train
+        )
+
+    def decode(
+        self, enc: EncoderOutput, desired_length: int | None = None,
+        train: bool = True,
+    ) -> jnp.ndarray:
+        """EncoderOutput -> [B, 1, T]. ``desired_length`` is the per-band
+        (post-PQMF) length, a static shape under jit."""
+        sub = self.decoder(
+            enc.embeddings, enc.ops, enc.masks, desired_length, train
+        )
+        return self.pqmf.inverse(jnp.swapaxes(sub, -1, -2))
+
+    def __call__(
+        self, x, temperature=1.0, rng=None, train: bool = True
+    ) -> AutoencoderOutput:
+        enc = self.encode(x, temperature, rng, train)
+        wav = self.decode(enc, x.shape[-1] // self.num_bands, train)
+        aux = {
+            "binary_entropy": rank_diversity_entropy(enc.rectified),
+            "diversity": vertex_count_penalty(
+                enc.rectified.vertices,
+                self.min_active_vertices,
+                self.max_active_vertices,
+            ),
+        }
+        return AutoencoderOutput(
+            waveform=wav, aux=aux, valid=enc.valid, encoder_output=enc
+        )
+
+    def num_params(self, params) -> int:
+        """Total parameter count (audio2complex.py:61-62)."""
+        return sum(int(p.size) for p in jax.tree.leaves(params))

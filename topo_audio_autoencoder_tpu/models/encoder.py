@@ -1,0 +1,277 @@
+"""Audio encoder: PQMF bands -> conv stacks -> simplex logits -> soft complex.
+
+TPU-native re-design of the reference ``AudioEncoder`` (reference:
+encoder.py:72-433). Architectural mapping (numerics preserved, layout
+re-designed for the MXU):
+
+- The reference runs 16 *separate* per-band conv stacks in a Python loop
+  (encoder.py:104-119, 396-401). Identical architecture per band == one
+  grouped conv with ``feature_group_count=16``: a single large MXU conv per
+  stage instead of 16 small ones. Channel order is band-major, so per-band
+  GroupNorm(2, 8) becomes GroupNorm(32) over the fused 128 channels etc. —
+  group boundaries land exactly on the reference's.
+- Everything is channels-last ([B, T, C]) and batched; the reference is
+  written for batch 1 with squeezes (encoder.py:426).
+- ``generate_complex`` implements the *intended* sampling path per SURVEY
+  §2.4.1-2: bias the vertex slice only, sample all 6,195 logits, split by
+  rank, rectify; the hard path re-rectifies a Bernoulli draw and straight-
+  throughs to the logits (encoder.py:341-357). The all-zero-vertex bailout
+  (encoder.py:365-366) becomes a ``valid`` flag so the step stays jittable.
+- Active-simplex gathers (encoder.py:227-263) become masked-static: full
+  embedding tables LayerNormed and scaled by the (rectified or STE'd)
+  probabilities — inactive rows are exactly zero, and downstream consumers
+  receive the masks.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.samplers import binary_gumbel, straight_through
+from ..topology.builder import SimplicialOperators, build_operators
+from ..topology.complexes import ComplexTables
+from ..topology.rectifier import RectifiedProbs, enforce_constraints
+
+
+class EncoderOutput(NamedTuple):
+    """Everything the decoder + objective need, fixed shapes throughout."""
+
+    logits: jnp.ndarray  # [B, S_total] raw simplex logits (pre vertex bias)
+    embeddings: tuple  # per-rank [B, S_r, C], zero rows when inactive
+    ops: SimplicialOperators  # masked-dense operator set
+    probs: RectifiedProbs  # per-rank output probabilities (STE'd if hard)
+    rectified: RectifiedProbs  # soft rectified probabilities
+    masks: tuple  # per-rank {0,1} active masks [B, S_r]
+    valid: jnp.ndarray  # [B] bool: at least one active vertex
+
+
+def _conv(features, kernel, stride=1, groups=1, name=None):
+    pad = (kernel - 1) // 2
+    return nn.Conv(
+        features,
+        kernel_size=(kernel,),
+        strides=(stride,),
+        padding=[(pad, pad)],
+        feature_group_count=groups,
+        name=name,
+    )
+
+
+class BandEncoder(nn.Module):
+    """Fused per-band conv stacks (encoder.py:104-119), 16 bands at once.
+
+    [B, T, 16] -> [B, T/8, 256]; channels band-major (band b owns channels
+    [16b, 16b+16)).
+    """
+
+    num_bands: int = 16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        nb = self.num_bands
+        x = _conv(8 * nb, 15, 2, groups=nb, name="conv0")(x)
+        x = nn.GroupNorm(num_groups=2 * nb, name="norm0")(x)
+        x = nn.gelu(x)
+        x = _conv(16 * nb, 7, 2, groups=nb, name="conv1")(x)
+        x = nn.GroupNorm(num_groups=4 * nb, name="norm1")(x)
+        x = nn.gelu(x)
+        x = _conv(16 * nb, 5, 2, groups=nb, name="conv2")(x)
+        x = nn.GroupNorm(num_groups=4 * nb, name="norm2")(x)
+        x = nn.gelu(x)
+        return x
+
+
+class AudioEncoder(nn.Module):
+    """Waveform bands -> simplex logits -> rectified soft complex."""
+
+    tables: ComplexTables
+    num_bands: int = 16
+    embedding_dim: int = 64
+    dropout: float = 0.1
+    hard: bool = False
+    min_active_vertices: int = 8
+    max_active_vertices: int = 20
+
+    def setup(self):
+        t = self.tables
+        self.sizes = t.sizes
+        self.total_simplices = t.total_simplices
+        self.band_encoder = BandEncoder(self.num_bands)
+        # Cross-band merge (encoder.py:126-135). Widths scale with num_bands
+        # (reference hardcodes 16 bands -> 256/192/128); group sizes match
+        # the reference's at 16 bands.
+        nb = self.num_bands
+        self.cross0 = _conv(12 * nb, 5, groups=4, name="cross0")
+        self.cross_norm0 = nn.GroupNorm(num_groups=12)
+        self.cross1 = _conv(8 * nb, 7, name="cross1")
+        self.cross_norm1 = nn.GroupNorm(num_groups=8)
+        self.skip_weight = self.param(
+            "skip_weight", lambda k: jnp.asarray(0.1, jnp.float32)
+        )
+        # Temporal reduction (encoder.py:138-149)
+        self.red0 = _conv(8 * nb, 7, 4, groups=8, name="red0")
+        self.red_norm0 = nn.GroupNorm(num_groups=8)
+        self.red1 = _conv(8 * nb, 7, 2, groups=8, name="red1")
+        self.red_norm1 = nn.GroupNorm(num_groups=8)
+        self.red2 = _conv(8 * nb, 3, 2, name="red2")
+        self.red_norm2 = nn.GroupNorm(num_groups=8)
+        # MLP to simplex logits (encoder.py:152-165)
+        self.mlp0 = nn.Dense(2048)
+        self.mlp_norm0 = nn.LayerNorm()
+        self.mlp1 = nn.Dense(1024)
+        self.mlp_norm1 = nn.LayerNorm()
+        self.mlp2 = nn.Dense(self.total_simplices)
+        self.drop = nn.Dropout(self.dropout)
+        # Per-rank additive vertex bias, init 2.0 (encoder.py:167): only the
+        # vertex bias is ever applied (encoder.py:292); the other three rank
+        # biases in the reference are vestigial and not rebuilt.
+        self.vertex_bias = self.param(
+            "vertex_bias", lambda k: jnp.asarray(2.0, jnp.float32)
+        )
+        # Per-rank embedding tables + LayerNorms (encoder.py:177-195)
+        self.embed_tables = [
+            self.param(
+                f"embed_rank{r}",
+                nn.initializers.normal(1.0),
+                (self.sizes[r], self.embedding_dim),
+            )
+            for r in range(4)
+        ]
+        self.embed_norms = [nn.LayerNorm(name=f"embed_norm{r}") for r in range(4)]
+
+    def compute_logits(self, bands: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        """[B, T, num_bands] (channels-last PQMF bands) -> [B, S_total]."""
+        x = self.band_encoder(bands)  # [B, T/8, 256]
+        # Skip: max over adjacent channel pairs — the reference's MaxPool1d
+        # applied across the channel axis (encoder.py:122,408): 256 -> 128.
+        b, t, c = x.shape
+        skip = x.reshape(b, t, c // 2, 2).max(axis=-1)
+        y = nn.gelu(self.cross_norm0(self.cross0(x)))
+        y = nn.gelu(self.cross_norm1(self.cross1(y)))
+        y = y + self.skip_weight * skip
+        y = nn.gelu(self.red_norm0(self.red0(y)))
+        y = nn.gelu(self.red_norm1(self.red1(y)))
+        y = nn.gelu(self.red_norm2(self.red2(y)))  # [B, 32, 128]
+        y = y.reshape(y.shape[0], -1)  # [B, 4096]
+        y = self.drop(nn.gelu(self.mlp_norm0(self.mlp0(y))), deterministic=not train)
+        y = self.drop(nn.gelu(self.mlp_norm1(self.mlp1(y))), deterministic=not train)
+        return self.mlp2(y)  # [B, S_total]
+
+    def generate_complex(
+        self,
+        logits: jnp.ndarray,
+        temperature,
+        rng: jax.Array | None,
+        train: bool = True,
+    ) -> EncoderOutput:
+        """Sample, rectify, embed, assemble — the intended reference path
+        (encoder.py:324-388 with SURVEY §2.4.1-2 fixes), fully static."""
+        v = self.sizes[0]
+        biased = logits.at[..., :v].add(nn.relu(self.vertex_bias))
+
+        if self.hard:
+            # Hard path (encoder.py:330-357): deterministic relaxation, then
+            # Bernoulli, re-rectification and straight-through to the logits.
+            probs_all = jax.nn.sigmoid(biased / temperature)
+            rect = enforce_constraints(*self.tables.split(probs_all), self.tables)
+            if rng is None:
+                hard_ranks = tuple(
+                    (p > 0.5).astype(p.dtype) for p in rect.ranks
+                )
+            else:
+                keys = jax.random.split(rng, 4)
+                hard_ranks = tuple(
+                    jax.random.bernoulli(k, p).astype(p.dtype)
+                    for k, p in zip(keys, rect.ranks)
+                )
+            rect2 = enforce_constraints(*hard_ranks, self.tables)
+            logit_ranks = self.tables.split(biased)
+            out_ranks = RectifiedProbs(
+                *(straight_through(h, l) for h, l in zip(rect2.ranks, logit_ranks))
+            )
+        else:
+            # Soft path: binary Gumbel relaxation of every logit
+            # (encoder.py:326-327), then rectification.
+            probs_all = binary_gumbel(biased, rng, temperature, training=train)
+            rect = enforce_constraints(*self.tables.split(probs_all), self.tables)
+            out_ranks = rect
+
+        masks = tuple((p > 0).astype(logits.dtype) for p in out_ranks.ranks)
+        valid = out_ranks.vertices.sum(axis=-1) > 0
+
+        # Masked-static embeddings (encoder.py:227-263): LN(table) * prob.
+        embeddings = tuple(
+            self.embed_norms[r](self.embed_tables[r]) * out_ranks.ranks[r][..., None]
+            for r in range(4)
+        )
+        # Operators from the *soft* rectified probs in both paths
+        # (encoder.py:384 passes ``rectified``); masks from the output probs.
+        ops = build_operators(rect, self.tables, masks=masks)
+        return EncoderOutput(
+            logits=logits,
+            embeddings=embeddings,
+            ops=ops,
+            probs=out_ranks,
+            rectified=rect,
+            masks=masks,
+            valid=valid,
+        )
+
+    def __call__(
+        self,
+        bands: jnp.ndarray,
+        temperature,
+        rng: jax.Array | None = None,
+        train: bool = True,
+    ) -> EncoderOutput:
+        logits = self.compute_logits(bands, train)
+        return self.generate_complex(logits, temperature, rng, train)
+
+
+def info_nce_loss(
+    logits: jnp.ndarray, temperature: float = 0.1
+) -> jnp.ndarray:
+    """InfoNCE over simplex-logit rows (encoder.py:299-314, intended batched
+    semantics per SURVEY §2.4.8).
+
+    logits: [B, G, S] where row 0 = anchor, 1 = positive, 2: = negatives.
+    """
+    norm = logits / (jnp.linalg.norm(logits, axis=-1, keepdims=True) + 1e-12)
+    anchor = norm[:, 0]  # [B, S]
+    positive = norm[:, 1]  # [B, S]
+    negatives = norm[:, 2:]  # [B, K, S]
+    pos = jnp.einsum("bs,bs->b", anchor, positive)[:, None]  # [B, 1]
+    neg = jnp.einsum("bs,bks->bk", anchor, negatives)  # [B, K]
+    scores = jnp.concatenate([pos, neg], axis=1) / temperature
+    # cross-entropy with label 0
+    return (jax.nn.logsumexp(scores, axis=1) - scores[:, 0]).mean()
+
+
+def triplet_loss(logits: jnp.ndarray, margin: float = 1.0) -> jnp.ndarray:
+    """Triplet margin loss with L2 distance (encoder.py:316-320)."""
+    anchor, positive, negative = logits[:, 0], logits[:, 1], logits[:, 2]
+    d_pos = jnp.linalg.norm(anchor - positive, axis=-1)
+    d_neg = jnp.linalg.norm(anchor - negative, axis=-1)
+    return jnp.maximum(d_pos - d_neg + margin, 0.0).mean()
+
+
+def vertex_count_penalty(
+    vertex_probs: jnp.ndarray, min_active: int, max_active: int
+) -> jnp.ndarray:
+    """relu(min - count) + relu(count - max) (encoder.py:199-203)."""
+    count = vertex_probs.sum(axis=-1)
+    return nn.relu(min_active - count) + nn.relu(count - max_active)
+
+
+def rank_diversity_entropy(probs: RectifiedProbs) -> jnp.ndarray:
+    """Negative entropy of mean activation across ranks (encoder.py:205-225):
+    encourages activation mass spread over simplex ranks. Returns the loss
+    term (-0.1 * entropy), batched."""
+    acts = jnp.stack([p.mean(axis=-1) for p in probs.ranks], axis=-1)  # [B, 4]
+    dist = acts / (acts.sum(axis=-1, keepdims=True) + 1e-10)
+    entropy = -(dist * jnp.log(dist + 1e-10)).sum(axis=-1)
+    return -0.1 * entropy

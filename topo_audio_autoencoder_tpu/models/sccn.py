@@ -1,0 +1,195 @@
+"""Simplicial Complex Convolutional Network (SCCN), masked-static & batched.
+
+TPU-native re-design of the reference's ``GradientSCCNLayer`` /
+``GradientSCCN`` / ``JumpingKnowledgeSCCN`` (reference: custom_sccn.py:7-205),
+which subclass TopoModelX's SCCN (Yang et al. 2022) but replace its
+aggregation entirely. Per rank r the layer computes up to three messages:
+
+- same-rank:     ``A_r @ X_r @ W``              (custom_sccn.py:78-81)
+- high-to-low:   ``B_{r+1} @ X_{r+1} @ W``      (custom_sccn.py:95-98)
+- low-to-high:   ``B_r^T @ X_{r-1} @ W``        (custom_sccn.py:113-116)
+
+each scaled by a learnable scalar and given a residual ``+ X_r``
+(custom_sccn.py:83,100,117; residual defaults True since ``GradientSCCN``
+never forwards its own flag, custom_sccn.py:147-155), then combines them by
+learned softmax attention over the message axis (2-layer MLP -> softmax,
+custom_sccn.py:128-132) and LayerNorms the result during training on all but
+the final layer (custom_sccn.py:133-135). Messages are *linear* — the
+``update_func`` the reference passes is consumed only by the bypassed base
+class, so no nonlinearity appears in the message path.
+
+TPU-first differences (numerics preserved):
+
+- All shapes static and batched: features are per-rank ``[B, S_r, C]``
+  arrays; inactive simplices carry zero operator rows/columns (see
+  ``topology.builder``) so they send no messages. No missing-rank
+  bookkeeping — a fully masked rank is simply all-zero.
+- The rank-3 adjacency [4845, 4845] is never materialized: same-rank
+  products go through ``same_rank_matmul``'s factored Gram form.
+- The four ranks' message/attention weight matrices are applied as plain
+  ``[C, C]`` matmuls — XLA batches them onto the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..topology.builder import SimplicialOperators, same_rank_matmul
+
+MAX_RANK = 3
+
+
+class MessageAttention(nn.Module):
+    """Per-rank learned softmax attention over the message axis.
+
+    Mirrors reference custom_sccn.py:28-34,128-132: scores = MLP(C->C->1)
+    with a GELU between, softmax over the stacked-messages axis.
+    """
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, stacked: jnp.ndarray) -> jnp.ndarray:
+        # stacked: [M, B, S, C]
+        h = nn.Dense(self.channels)(stacked)
+        h = nn.gelu(h)
+        scores = nn.Dense(1)(h)  # [M, B, S, 1]
+        attn = nn.softmax(scores, axis=0)
+        return (stacked * attn).sum(axis=0)  # [B, S, C]
+
+
+class GradientSCCNLayer(nn.Module):
+    """One masked-static SCCN layer over ranks 0..max_rank."""
+
+    channels: int
+    max_rank: int = MAX_RANK
+    residual: bool = True
+    is_final_layer: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        features: Sequence[jnp.ndarray],
+        ops: SimplicialOperators,
+        train: bool = True,
+    ) -> list[jnp.ndarray]:
+        # Learnable per-message-type scales (custom_sccn.py:21-25). Shared
+        # across ranks, exactly like the reference's single ParameterDict.
+        scale_same = self.param("scale_same", nn.initializers.ones, (1,))
+        scale_l2h = self.param("scale_low_to_high", nn.initializers.ones, (1,))
+        scale_h2l = self.param("scale_high_to_low", nn.initializers.ones, (1,))
+
+        out: list[jnp.ndarray] = []
+        for rank in range(self.max_rank + 1):
+            x = features[rank]  # [B, S_r, C]
+            messages = []
+
+            # Same-rank message: A_r @ X_r @ W  (factored for ranks >= 1).
+            w_same = nn.Dense(
+                self.channels, use_bias=False, name=f"same_rank_{rank}"
+            )
+            msg = same_rank_matmul(ops, rank, w_same(x)) * scale_same
+            messages.append(msg + x if self.residual else msg)
+
+            # High-to-low: B_{r+1} @ X_{r+1} @ W.
+            if rank < self.max_rank:
+                w_h2l = nn.Dense(
+                    self.channels, use_bias=False, name=f"high_to_low_{rank}"
+                )
+                inc = ops.incidence(rank + 1)  # [B?, S_r, S_{r+1}]
+                msg = inc @ w_h2l(features[rank + 1]) * scale_h2l
+                messages.append(msg + x if self.residual else msg)
+
+            # Low-to-high: B_r^T @ X_{r-1} @ W.
+            if rank > 0:
+                w_l2h = nn.Dense(
+                    self.channels, use_bias=False, name=f"low_to_high_{rank}"
+                )
+                inc_t = jnp.swapaxes(ops.incidence(rank), -1, -2)  # [S_r, S_{r-1}]
+                msg = inc_t @ w_l2h(features[rank - 1]) * scale_l2h
+                messages.append(msg + x if self.residual else msg)
+
+            stacked = jnp.stack(messages, axis=0)  # [M, B, S_r, C]
+            y = MessageAttention(self.channels, name=f"attention_{rank}")(stacked)
+
+            # Reference normalizes only in train mode and never on the final
+            # layer (custom_sccn.py:133-135).
+            ln = nn.LayerNorm(name=f"norm_{rank}")
+            if train and not self.is_final_layer:
+                y = ln(y)
+            else:
+                # Materialize the params so train/eval share one param tree.
+                _ = ln(jnp.zeros_like(y[..., :1, :]))
+            out.append(y)
+        return out
+
+
+class GradientSCCN(nn.Module):
+    """Stack of ``n_layers`` GradientSCCNLayers (custom_sccn.py:140-162)."""
+
+    channels: int
+    max_rank: int = MAX_RANK
+    n_layers: int = 6
+    residual: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        features: Sequence[jnp.ndarray],
+        ops: SimplicialOperators,
+        train: bool = True,
+    ) -> list[jnp.ndarray]:
+        for i in range(self.n_layers):
+            features = GradientSCCNLayer(
+                channels=self.channels,
+                max_rank=self.max_rank,
+                residual=self.residual,
+                is_final_layer=(i == self.n_layers - 1),
+                name=f"layer_{i}",
+            )(features, ops, train)
+        return list(features)
+
+
+class JumpingKnowledgeSCCN(nn.Module):
+    """GradientSCCN + a 2-layer LSTM over the per-layer outputs, keeping the
+    last step (reference: custom_sccn.py:164-204). The LSTM runs per simplex
+    over the layer axis; weights are shared across ranks like the
+    reference's single ``jk_lstm``.
+    """
+
+    channels: int
+    max_rank: int = MAX_RANK
+    n_layers: int = 2
+
+    @nn.compact
+    def __call__(
+        self,
+        features: Sequence[jnp.ndarray],
+        ops: SimplicialOperators,
+        train: bool = True,
+    ) -> list[jnp.ndarray]:
+        per_layer: list[list[jnp.ndarray]] = []
+        for i in range(self.n_layers):
+            features = GradientSCCNLayer(
+                channels=self.channels,
+                max_rank=self.max_rank,
+                is_final_layer=(i == self.n_layers - 1),
+                name=f"layer_{i}",
+            )(features, ops, train)
+            per_layer.append(list(features))
+
+        lstm1 = nn.RNN(nn.OptimizedLSTMCell(self.channels), name="jk_lstm_0")
+        lstm2 = nn.RNN(nn.OptimizedLSTMCell(self.channels), name="jk_lstm_1")
+
+        out = []
+        for rank in range(self.max_rank + 1):
+            # [B, S, L, C]: sequence axis = layer index.
+            seq = jnp.stack([pl[rank] for pl in per_layer], axis=-2)
+            b, s, l, c = seq.shape
+            seq = seq.reshape(b * s, l, c)
+            h = lstm2(lstm1(seq))
+            out.append(h[:, -1, :].reshape(b, s, c))
+        return out

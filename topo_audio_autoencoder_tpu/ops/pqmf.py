@@ -120,7 +120,7 @@ def design_prototype(attenuation: float, n_band: int) -> tuple[np.ndarray, float
     return h, float(res.fun)
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class PQMF:
     """Near-perfect-reconstruction pseudo-QMF filterbank.
 

@@ -67,7 +67,7 @@ def _membership(num_simplices: int, num_faces: int, face_idx: np.ndarray) -> np.
     return m
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class ComplexTables:
     """Static combinatorial tables for the complete complex on ``n`` vertices.
 
