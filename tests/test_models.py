@@ -1,0 +1,286 @@
+"""Model-layer tests: SCCN, encoder, decoder, autoencoder facade."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from topo_audio_autoencoder_tpu.models import (
+    AudioAutoencoder,
+    GradientSCCN,
+    JumpingKnowledgeSCCN,
+    info_nce_loss,
+    triplet_loss,
+    linear_resize,
+    masked_linear_resize,
+    pack_active,
+    vertex_count_penalty,
+)
+from topo_audio_autoencoder_tpu.topology import (
+    build_tables,
+    enforce_constraints_flat,
+    build_operators,
+)
+
+N = 6  # small complex: 6/15/20/15 simplices
+
+
+@pytest.fixture(scope="module")
+def tables():
+    return build_tables(N)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return AudioAutoencoder.create(
+        num_vertices=N, num_bands=4, sccn_hidden_dim=32, n_sccn_layers=2
+    )
+
+
+@pytest.fixture(scope="module")
+def params(model):
+    x = jnp.zeros((1, 1, 4096))
+    return model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, 1.0, jax.random.PRNGKey(2), True,
+    )
+
+
+def _random_complex(tables, key, batch=2, zero_frac=0.3):
+    probs = jax.random.uniform(key, (batch, tables.total_simplices))
+    # sprinkle exact zeros so rectification creates real inactive simplices
+    zero = jax.random.bernoulli(jax.random.PRNGKey(9), zero_frac, probs.shape)
+    probs = jnp.where(zero, 0.0, probs)
+    rect = enforce_constraints_flat(probs, tables)
+    masks = tuple((p > 0).astype(jnp.float32) for p in rect.ranks)
+    ops = build_operators(rect, tables, masks)
+    return rect, ops, masks
+
+
+# ---------------------------------------------------------------- SCCN
+
+
+def test_sccn_shapes_and_gradients(tables):
+    """Gradient-flow check mirroring reference test_sccn.py:4-65.
+
+    Low zero fraction: every rank must have active simplices, else zero
+    grads on that rank's first-layer weights are *correct* (inactive
+    simplices have zero features and zero operator rows)."""
+    key = jax.random.PRNGKey(0)
+    rect, ops, masks = _random_complex(tables, key, zero_frac=0.02)
+    assert all(float(m.sum()) > 0 for m in masks), "need active simplices"
+    c = 16
+    feats = [
+        jax.random.normal(jax.random.PRNGKey(r), (2, s, c)) * m[..., None]
+        for r, (s, m) in enumerate(zip(tables.sizes, masks))
+    ]
+    sccn = GradientSCCN(channels=c, max_rank=3, n_layers=4)
+    params = sccn.init(jax.random.PRNGKey(1), feats, ops, True)
+
+    def loss(p, fs):
+        out = sccn.apply(p, fs, ops, True)
+        return sum(o.sum() for o in out)
+
+    val, grads = jax.value_and_grad(loss, argnums=(0, 1))(params, feats)
+    assert np.isfinite(float(val))
+    leaves = jax.tree.leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    # every parameter receives gradient signal
+    pnorms = [float(jnp.abs(l).sum()) for l in jax.tree.leaves(grads[0])]
+    assert all(n > 0 for n in pnorms), "vanishing gradient in SCCN params"
+
+
+def test_sccn_inactive_simplices_do_not_influence_active(tables):
+    """Masked-static equivalence: perturbing an inactive simplex's input
+    features must not change any active simplex's output."""
+    key = jax.random.PRNGKey(3)
+    rect, ops, masks = _random_complex(tables, key, batch=1)
+    c = 8
+    feats = [
+        jax.random.normal(jax.random.PRNGKey(10 + r), (1, s, c)) * m[..., None]
+        for r, (s, m) in enumerate(zip(tables.sizes, masks))
+    ]
+    sccn = GradientSCCN(channels=c, max_rank=3, n_layers=2)
+    params = sccn.init(jax.random.PRNGKey(4), feats, ops, True)
+    out0 = sccn.apply(params, feats, ops, True)
+
+    # find an inactive edge and perturb its features
+    edge_mask = np.asarray(masks[1][0])
+    inactive = np.where(edge_mask == 0)[0]
+    if len(inactive) == 0:
+        pytest.skip("random complex had no inactive edges")
+    feats2 = list(feats)
+    feats2[1] = feats[1].at[0, inactive[0]].add(100.0)
+    out1 = sccn.apply(params, feats2, ops, True)
+    for r in range(4):
+        m = np.asarray(masks[r][0]) > 0
+        np.testing.assert_allclose(
+            np.asarray(out0[r][0])[m], np.asarray(out1[r][0])[m],
+            rtol=1e-5, atol=1e-5,
+        )
+
+
+def test_jumping_knowledge_sccn(tables):
+    key = jax.random.PRNGKey(5)
+    rect, ops, masks = _random_complex(tables, key, batch=2)
+    c = 8
+    feats = [
+        jax.random.normal(jax.random.PRNGKey(20 + r), (2, s, c))
+        for r, s in enumerate(tables.sizes)
+    ]
+    jk = JumpingKnowledgeSCCN(channels=c, max_rank=3, n_layers=2)
+    params = jk.init(jax.random.PRNGKey(6), feats, ops, True)
+    out = jk.apply(params, feats, ops, True)
+    for r in range(4):
+        assert out[r].shape == (2, tables.sizes[r], c)
+        assert np.all(np.isfinite(np.asarray(out[r])))
+
+
+# ---------------------------------------------------------------- helpers
+
+
+def test_linear_resize_matches_expected():
+    # doubling [0, 1] with align_corners=False -> [0, 0.25, 0.75, 1]
+    x = jnp.array([[0.0], [1.0]])[None]  # [1, 2, 1]
+    y = np.asarray(linear_resize(x, 4))[0, :, 0]
+    np.testing.assert_allclose(y, [0.0, 0.25, 0.75, 1.0], atol=1e-6)
+
+
+def test_masked_linear_resize_ignores_tail():
+    """Resizing with valid_len=k must equal resizing x[:, :k] directly."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 10, 3)), dtype=jnp.float32)
+    k = 4
+    out_masked = masked_linear_resize(x, jnp.array([k]), 8)
+    out_direct = linear_resize(x[:, :k], 8)
+    np.testing.assert_allclose(
+        np.asarray(out_masked), np.asarray(out_direct), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_pack_active():
+    feats = jnp.arange(12, dtype=jnp.float32).reshape(1, 4, 3)
+    mask = jnp.array([[0.0, 1.0, 0.0, 1.0]])
+    packed, count = pack_active(feats, mask)
+    assert int(count[0]) == 2
+    np.testing.assert_allclose(np.asarray(packed[0, 0]), [3, 4, 5])
+    np.testing.assert_allclose(np.asarray(packed[0, 1]), [9, 10, 11])
+    np.testing.assert_allclose(np.asarray(packed[0, 2:]), 0.0)
+
+
+# ---------------------------------------------------------------- losses
+
+
+def test_info_nce_prefers_positive():
+    key = jax.random.PRNGKey(0)
+    anchor = jax.random.normal(key, (2, 1, 32))
+    sim = jnp.concatenate([anchor, anchor + 0.01, -anchor, anchor * -0.5 + 1.0], axis=1)
+    dissim = jnp.concatenate(
+        [anchor, -anchor, anchor + 0.01, anchor * 0.99], axis=1
+    )
+    assert float(info_nce_loss(sim)) < float(info_nce_loss(dissim))
+
+
+def test_triplet_loss_zero_when_separated():
+    anchor = jnp.ones((1, 1, 8))
+    logits = jnp.concatenate([anchor, anchor, anchor + 100.0], axis=1)
+    assert float(triplet_loss(logits)) == 0.0
+
+
+def test_vertex_count_penalty():
+    p = jnp.array([[1.0] * 4 + [0.0] * 4])
+    assert float(vertex_count_penalty(p, 8, 20)[0]) == 4.0  # under min
+    assert float(vertex_count_penalty(p, 2, 3)[0]) == 1.0  # over max
+    assert float(vertex_count_penalty(p, 2, 8)[0]) == 0.0
+
+
+# ---------------------------------------------------------------- end to end
+
+
+def test_autoencoder_roundtrip_shapes(model, params):
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 1, 4096))
+    out = model.apply(
+        params, x, 1.0, jax.random.PRNGKey(8), True,
+        rngs={"dropout": jax.random.PRNGKey(9)},
+    )
+    assert out.waveform.shape == x.shape
+    assert out.valid.shape == (2,)
+    assert set(out.aux) == {"binary_entropy", "diversity"}
+    assert np.all(np.isfinite(np.asarray(out.waveform)))
+
+
+def test_autoencoder_eval_deterministic(model, params):
+    x = jax.random.normal(jax.random.PRNGKey(10), (1, 1, 4096))
+    o1 = model.apply(params, x, 1.0, None, False)
+    o2 = model.apply(params, x, 1.0, None, False)
+    np.testing.assert_array_equal(np.asarray(o1.waveform), np.asarray(o2.waveform))
+    # eval masks are binary and rectified: a valid complex
+    masks = o1.encoder_output.masks
+    for m in masks:
+        assert set(np.unique(np.asarray(m))) <= {0.0, 1.0}
+
+
+def test_autoencoder_grads_finite(model, params):
+    x = jax.random.normal(jax.random.PRNGKey(11), (1, 1, 4096))
+
+    def loss_fn(p):
+        o = model.apply(
+            p, x, 1.0, jax.random.PRNGKey(12), True,
+            rngs={"dropout": jax.random.PRNGKey(13)},
+        )
+        return (
+            jnp.mean((o.waveform - x) ** 2)
+            + o.aux["binary_entropy"].mean()
+            + o.aux["diversity"].mean()
+        )
+
+    g = jax.grad(loss_fn)(params)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in jax.tree.leaves(g))
+
+
+def test_autoencoder_jit_compiles(model, params):
+    x = jax.random.normal(jax.random.PRNGKey(14), (1, 1, 4096))
+
+    @jax.jit
+    def fwd(p, x):
+        return model.apply(p, x, 1.0, None, False).waveform
+
+    y1 = fwd(params, x)
+    y2 = fwd(params, x)  # cached path
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+def test_hard_path_model(tables):
+    model = AudioAutoencoder.create(
+        num_vertices=N, num_bands=4, sccn_hidden_dim=32, n_sccn_layers=2,
+        hard=True,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(15), (1, 1, 4096))
+    params = model.init(
+        {"params": jax.random.PRNGKey(16), "dropout": jax.random.PRNGKey(17)},
+        x, 1.0, jax.random.PRNGKey(18), True,
+    )
+    out = model.apply(
+        params, x, 1.0, jax.random.PRNGKey(19), True,
+        rngs={"dropout": jax.random.PRNGKey(20)},
+    )
+    # hard path: forward probabilities are binary up to the STE's float
+    # non-associativity (l + (h - l) reproduces h only to ~1 ulp; the
+    # reference's torch arithmetic has the identical artifact)
+    for p in out.encoder_output.probs.ranks:
+        v = np.asarray(p)
+        assert np.all(np.isclose(v, 0.0, atol=1e-5) | np.isclose(v, 1.0, atol=1e-5))
+
+    # gradients flow through the STE
+    def loss_fn(p):
+        o = model.apply(
+            p, x, 1.0, jax.random.PRNGKey(19), True,
+            rngs={"dropout": jax.random.PRNGKey(20)},
+        )
+        return jnp.mean((o.waveform - x) ** 2)
+
+    g = jax.grad(loss_fn)(params)
+    enc_grads = jax.tree.leaves(g["params"]["encoder"])
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in enc_grads)
+    total = sum(float(jnp.abs(l).sum()) for l in enc_grads)
+    assert total > 0, "no gradient reached the encoder through the STE"

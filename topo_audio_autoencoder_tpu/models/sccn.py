@@ -116,13 +116,15 @@ class GradientSCCNLayer(nn.Module):
             y = MessageAttention(self.channels, name=f"attention_{rank}")(stacked)
 
             # Reference normalizes only in train mode and never on the final
-            # layer (custom_sccn.py:133-135).
-            ln = nn.LayerNorm(name=f"norm_{rank}")
-            if train and not self.is_final_layer:
-                y = ln(y)
-            else:
-                # Materialize the params so train/eval share one param tree.
-                _ = ln(jnp.zeros_like(y[..., :1, :]))
+            # layer (custom_sccn.py:133-135) — final layers carry no norm
+            # params at all here (they'd be dead weight).
+            if not self.is_final_layer:
+                ln = nn.LayerNorm(name=f"norm_{rank}")
+                if train:
+                    y = ln(y)
+                else:
+                    # Materialize params so train/eval share one param tree.
+                    _ = ln(jnp.zeros_like(y[..., :1, :]))
             out.append(y)
         return out
 

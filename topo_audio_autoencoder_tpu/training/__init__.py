@@ -1,0 +1,34 @@
+"""Training layer: objective, jitted steps, trainer shell, checkpointing."""
+
+from .losses import LossWeights, autoencoder_loss
+from .metrics import MetricWriter, TrainingMetrics
+from .checkpoint import CheckpointManager
+from .train_step import (
+    Hyperparams,
+    TrainState,
+    anneal_temperature,
+    component_grad_norms,
+    create_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+from .trainer import Trainer, TrainerConfig
+
+__all__ = [
+    "LossWeights",
+    "autoencoder_loss",
+    "MetricWriter",
+    "TrainingMetrics",
+    "CheckpointManager",
+    "Hyperparams",
+    "TrainState",
+    "anneal_temperature",
+    "component_grad_norms",
+    "create_train_state",
+    "make_eval_step",
+    "make_optimizer",
+    "make_train_step",
+    "Trainer",
+    "TrainerConfig",
+]

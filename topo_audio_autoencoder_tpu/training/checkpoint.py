@@ -1,0 +1,69 @@
+"""Orbax checkpointing: params, optimizer state, metrics, epoch, PRNG key.
+
+Replaces the reference's ``torch.save`` dict-of-state checkpoints
+(reference: trainer.py:417-453) with Orbax. Async-capable saves give
+preemption tolerance (SURVEY §5.3-4); cadence decisions stay in the trainer.
+
+Layout: ``<dir>/<name>/`` contains the composite checkpoint; ``latest`` /
+``best`` are plain names like the reference's (trainer.py:148-161).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Thin wrapper over an Orbax PyTreeCheckpointer keyed by name."""
+
+    def __init__(self, directory: str | Path):
+        self.directory = Path(directory).resolve()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self._ckptr = ocp.PyTreeCheckpointer()
+
+    def _path(self, name: str) -> Path:
+        return self.directory / name
+
+    def save(self, name: str, state: Any, extra: dict | None = None) -> None:
+        """Save a pytree state (+ a small JSON sidecar of host metadata)."""
+        path = self._path(name)
+        self._ckptr.save(path, jax.device_get(state), force=True)
+        if extra is not None:
+            (path / "extra.json").write_text(json.dumps(extra))
+
+    def restore(self, name: str, template: Any = None) -> Any:
+        """Restore by name; ``template`` gives dtypes/shapes (and
+        distinguishes lists from tuples, which the on-disk tree loses)."""
+        path = self._path(name)
+        if template is not None:
+            target = jax.tree.map(np.asarray, jax.device_get(template))
+            restored = self._ckptr.restore(path, item=target)
+        else:
+            restored = self._ckptr.restore(path)
+        return restored
+
+    def load_extra(self, name: str) -> dict | None:
+        p = self._path(name) / "extra.json"
+        return json.loads(p.read_text()) if p.exists() else None
+
+    def exists(self, name: str) -> bool:
+        return self._path(name).exists()
+
+    def latest_epoch_name(self, prefix: str = "epoch_") -> str | None:
+        """Most recent ``epoch_N`` checkpoint — per-combo resume during
+        tuning (reference trainer.py:462-469)."""
+        best_n, best = -1, None
+        for p in self.directory.glob(f"{prefix}*"):
+            try:
+                n = int(p.name.split("_")[1])
+            except (IndexError, ValueError):
+                continue
+            if n > best_n:
+                best_n, best = n, p.name
+        return best

@@ -1,0 +1,243 @@
+"""Jitted train/eval steps and the optimizer stack.
+
+Implements the reference trainer's per-batch math (reference:
+trainer.py:260-310) as one compiled function:
+
+- Two-group Adam with separate encoder/decoder learning rates
+  (trainer.py:80-87) via ``optax.multi_transform`` keyed on the top-level
+  param tree.
+- Gradient accumulation N (trainer.py:284-293) via ``optax.MultiSteps`` —
+  the optimizer applies every N calls, matching loss/N scaling semantics.
+- Global-norm clipping at 10 applied to the accumulated gradient
+  (trainer.py:288), i.e. clipping sits *inside* the MultiSteps wrapper.
+- Contrastive batch semantics per SURVEY §2.4.8: each item is a stack of
+  [anchor, positive, negatives...] waveforms; all run through PQMF+encoder
+  logits, InfoNCE over the logit rows, and only the anchor is decoded.
+- Per-component gradient-norm telemetry (trainer.py:313-397) computed from
+  the gradient tree inside the same jit.
+- Optional bf16 compute policy: params + activations cast to bfloat16 for
+  the forward/backward, fp32 master params and optimizer state. The
+  rectifier and STFT keep their own fp32 islands (see those modules).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.autoencoder import AudioAutoencoder
+from ..models.encoder import info_nce_loss, rank_diversity_entropy, vertex_count_penalty
+from ..ops.samplers import temperature_schedule
+from .losses import LossWeights, autoencoder_loss
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray  # int32 micro-step counter
+
+
+class Hyperparams(NamedTuple):
+    """The tunable knobs of the reference grid search (main.py:261-265)."""
+
+    encoder_lr: float = 1e-3
+    decoder_lr: float = 1e-4
+    complexity_penalty: float = 0.1
+
+
+def make_optimizer(
+    encoder_lr: float = 1e-3,
+    decoder_lr: float = 1e-4,
+    gradient_clip_val: float = 10.0,
+    accumulate_grad_batches: int = 4,
+) -> optax.GradientTransformation:
+    """clip -> {encoder: adam(lr_e), decoder: adam(lr_d)}, accumulated."""
+
+    def label_fn(params):
+        def label_tree(tree, label):
+            return jax.tree.map(lambda _: label, tree)
+
+        return {
+            "params": {
+                k: label_tree(v, "encoder" if k == "encoder" else "decoder")
+                for k, v in params["params"].items()
+            }
+        }
+
+    inner = optax.chain(
+        optax.clip_by_global_norm(gradient_clip_val),
+        optax.multi_transform(
+            {
+                "encoder": optax.adam(encoder_lr),
+                "decoder": optax.adam(decoder_lr),
+            },
+            label_fn,
+        ),
+    )
+    if accumulate_grad_batches > 1:
+        inner = optax.MultiSteps(inner, every_k_schedule=accumulate_grad_batches)
+    return inner
+
+
+def create_train_state(
+    model: AudioAutoencoder,
+    optimizer: optax.GradientTransformation,
+    rng: jax.Array,
+    sample_shape: tuple[int, ...],
+) -> TrainState:
+    x = jnp.zeros(sample_shape, jnp.float32)
+    prng, drng, srng = jax.random.split(rng, 3)
+    params = model.init(
+        {"params": prng, "dropout": drng}, x, 1.0, srng, True
+    )
+    return TrainState(
+        params=params,
+        opt_state=optimizer.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _cast_tree(tree, dtype):
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree,
+    )
+
+
+def component_grad_norms(grads) -> dict:
+    """Per-top-level-module L2 gradient norms (trainer.py:313-397)."""
+    out = {}
+    for part, tree in grads["params"].items():
+        if isinstance(tree, dict):
+            for name, sub in tree.items():
+                leaves = jax.tree.leaves(sub)
+                out[f"{part}/{name}"] = jnp.sqrt(
+                    sum(jnp.sum(jnp.square(l)) for l in leaves)
+                )
+        else:
+            out[part] = jnp.sqrt(jnp.sum(jnp.square(tree)))
+    return out
+
+
+def make_train_step(
+    model: AudioAutoencoder,
+    optimizer: optax.GradientTransformation,
+    weights: LossWeights = LossWeights(),
+    compute_dtype: jnp.dtype = jnp.float32,
+    with_grad_norms: bool = False,
+    donate: bool = True,
+):
+    """Build the jitted train step.
+
+    Batch: [B, G, 1, T] — G-way contrastive stacks (G = 1 disables the
+    contrastive term; G >= 3 required for InfoNCE).
+    """
+
+    def loss_fn(params, batch, temperature, rng):
+        b, g, _, t = batch.shape
+        srng, drng = jax.random.split(rng)
+        cast_params = _cast_tree(params, compute_dtype)
+        flat = batch.reshape(b * g, 1, t).astype(compute_dtype)
+
+        # Encoder logits for ALL group members (contrastive needs them)...
+        bands = model.pqmf.forward(flat)
+        logits = model.apply(
+            cast_params,
+            jnp.swapaxes(bands, -1, -2),
+            True,
+            rngs={"dropout": drng},
+            method=lambda m, x, tr: m.encoder.compute_logits(x, tr),
+        )  # [B*G, S]
+
+        contrastive = None
+        if g >= 3:
+            contrastive = info_nce_loss(
+                logits.reshape(b, g, -1).astype(jnp.float32)
+            )
+
+        # ...then complex + decode for the anchors only.
+        anchor_logits = logits.reshape(b, g, -1)[:, 0]
+        enc = model.apply(
+            cast_params,
+            anchor_logits,
+            temperature,
+            srng,
+            True,
+            method=lambda m, l, tp, r, tr: m.encoder.generate_complex(l, tp, r, tr),
+        )
+        anchors = flat.reshape(b, g, 1, t)[:, 0]
+        recon = model.apply(
+            cast_params,
+            enc,
+            t // model.num_bands,
+            True,
+            rngs={"dropout": drng},
+            method=lambda m, e, dl, tr: m.decode(e, dl, tr),
+        )
+        aux = {
+            "binary_entropy": rank_diversity_entropy(enc.rectified),
+            "diversity": vertex_count_penalty(
+                enc.rectified.vertices,
+                model.min_active_vertices,
+                model.max_active_vertices,
+            ),
+        }
+        total, components = autoencoder_loss(
+            recon.astype(jnp.float32),
+            anchors.astype(jnp.float32),
+            {k: v.astype(jnp.float32) for k, v in aux.items()},
+            enc.valid,
+            weights,
+            contrastive,
+        )
+        return total, components
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state: TrainState, batch, temperature, rng):
+        (loss, components), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, temperature, rng
+        )
+        grads = _cast_tree(grads, jnp.float32)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(components)
+        if with_grad_norms:
+            metrics["grad_norms"] = component_grad_norms(grads)
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            metrics,
+        )
+
+    return train_step
+
+
+def make_eval_step(
+    model: AudioAutoencoder,
+    weights: LossWeights = LossWeights(),
+):
+    """Jitted validation step: deterministic forward + loss
+    (trainer.py:399-415). Batch: [B, 1, T] bare waveforms."""
+
+    @jax.jit
+    def eval_step(params, batch):
+        out = model.apply(params, batch, 1.0, None, False)
+        total, components = autoencoder_loss(
+            out.waveform, batch, out.aux, out.valid, weights
+        )
+        return total, components
+
+    return eval_step
+
+
+def anneal_temperature(
+    epoch, initial_temp: float = 5.0, min_temp: float = 0.1, decay: float = 0.95
+):
+    """Per-epoch Gumbel temperature (trainer.py:264-269), as a pure
+    function usable as a dynamic jit argument."""
+    return temperature_schedule(epoch, initial_temp, min_temp, decay)

@@ -1,0 +1,12 @@
+"""Utilities: profiling, debug instrumentation."""
+
+from .debug import assert_finite_tree, detect_anomalies, finite_or_zero
+from .profiling import time_fn, trace
+
+__all__ = [
+    "assert_finite_tree",
+    "detect_anomalies",
+    "finite_or_zero",
+    "time_fn",
+    "trace",
+]
