@@ -1,0 +1,200 @@
+"""The five driver-defined benchmark configs (BASELINE.json:6-12).
+
+Each prints one JSON line; the repo-root ``bench.py`` remains the single
+headline metric. Run: ``python benchmarks/run_all.py [--quick]``.
+
+Configs:
+1. batch=1 encoder -> HardConcrete -> complex_builder forward (golden ref)
+2. full autoencoder fwd + recon loss, batch=8, vertices+edges only
+3. jitted train step, topo-constraint loss + STE backward, batch=32
+4. full synthetic-train epoch, precomputed distance cache on device, batch=128
+5. data-parallel over all devices, full hierarchy, bf16 train step
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+T = 64000
+QUICK = "--quick" in sys.argv
+
+
+def _bench(fn, *args, iters=10, warmup=2):
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def _emit(name, value, unit, extra=None):
+    rec = {"config": name, "value": round(value, 4), "unit": unit}
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+def config1():
+    """Encoder->HardConcrete->operators forward, batch=1."""
+    from topo_audio_autoencoder_tpu.models import AudioAutoencoder
+
+    model = AudioAutoencoder.create(
+        num_vertices=20, num_bands=16, sccn_hidden_dim=64, hard=True
+    )
+    x = jnp.zeros((1, 1, T))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, 1.0, jax.random.PRNGKey(2), True,
+    )
+
+    @jax.jit
+    def encode(params, x, rng):
+        return model.apply(
+            params, x, 1.0, rng, False, method=lambda m, a, t_, r, tr: m.encode(a, t_, r, tr)
+        ).ops.adj0
+
+    dt = _bench(encode, params, x, jax.random.PRNGKey(3))
+    _emit("1_encoder_forward_b1", dt * 1e3, "ms/clip")
+
+
+def config2():
+    """Full autoencoder fwd + loss, batch=8, vertices+edges only."""
+    from topo_audio_autoencoder_tpu.models import AudioAutoencoder
+    from topo_audio_autoencoder_tpu.training.losses import autoencoder_loss
+
+    model = AudioAutoencoder.create(
+        num_vertices=20, num_bands=16, sccn_hidden_dim=64, max_rank=1
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 1, T)) * 0.1
+    params = model.init(
+        {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+        x[:1], 1.0, jax.random.PRNGKey(3), True,
+    )
+
+    @jax.jit
+    def fwd(params, x):
+        out = model.apply(params, x, 1.0, None, False)
+        total, _ = autoencoder_loss(out.waveform, x, out.aux, out.valid)
+        return total
+
+    dt = _bench(fwd, params, x)
+    _emit("2_full_forward_b8_rank1", 8 / dt, "clips/s")
+
+
+def config3():
+    """Jitted train step (STE backward through HardConcrete), batch=32."""
+    from topo_audio_autoencoder_tpu.models import AudioAutoencoder
+    from topo_audio_autoencoder_tpu.training import (
+        create_train_state, make_optimizer, make_train_step,
+    )
+
+    b = 8 if QUICK else 32
+    model = AudioAutoencoder.create(
+        num_vertices=20, num_bands=16, sccn_hidden_dim=64, hard=True
+    )
+    opt = make_optimizer(accumulate_grad_batches=1)
+    state = create_train_state(model, opt, jax.random.PRNGKey(0), (1, 1, T))
+    step = make_train_step(model, opt, donate=False)
+    batch = jax.random.normal(jax.random.PRNGKey(1), (b, 1, 1, T)) * 0.1
+
+    def run(state, batch, rng):
+        s, m = step(state, batch, jnp.asarray(1.0), rng)
+        return m["total_loss"]
+
+    dt = _bench(run, state, batch, jax.random.PRNGKey(2))
+    _emit(f"3_train_step_b{b}_hard", b / dt, "clips/s")
+
+
+def config4():
+    """One training epoch over a synthetic corpus with on-device distance
+    cache, batch=128 (64 in --quick)."""
+    from topo_audio_autoencoder_tpu.data import (
+        NSynthDataset, batch_iterator, compute_distances, synth_corpus,
+    )
+    from topo_audio_autoencoder_tpu.models import AudioAutoencoder
+    from topo_audio_autoencoder_tpu.training import (
+        anneal_temperature, create_train_state, make_optimizer, make_train_step,
+    )
+
+    n, b = (128, 32) if QUICK else (512, 128)
+    corpus = synth_corpus(n, T)
+    t0 = time.perf_counter()
+    dists = compute_distances(corpus, tile=64)
+    precompute_s = time.perf_counter() - t0
+
+    ds = NSynthDataset(corpus, dists["neighbors"], train=True)
+    model = AudioAutoencoder.create(
+        num_vertices=20, num_bands=16, sccn_hidden_dim=64
+    )
+    opt = make_optimizer(accumulate_grad_batches=1)
+    state = create_train_state(model, opt, jax.random.PRNGKey(0), (1, 1, T))
+    step = make_train_step(model, opt, donate=False)
+
+    temp = anneal_temperature(0)
+    # warmup compile on first batch shape
+    first = next(iter(batch_iterator(ds, b)))
+    state, _ = step(state, jnp.asarray(first), temp, jax.random.PRNGKey(1))
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    count = 0
+    for i, batch in enumerate(batch_iterator(ds, b)):
+        state, m = step(state, jnp.asarray(batch), temp, jax.random.PRNGKey(i))
+        count += b
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+    _emit(
+        f"4_epoch_b{b}", count / dt, "clips/s",
+        {"precompute_s": round(precompute_s, 2), "corpus": n},
+    )
+
+
+def config5():
+    """Data-parallel bf16 train step over all devices, full hierarchy."""
+    from topo_audio_autoencoder_tpu.models import AudioAutoencoder
+    from topo_audio_autoencoder_tpu.parallel import make_mesh, replicate, shard_batch
+    from topo_audio_autoencoder_tpu.training import (
+        create_train_state, make_optimizer, make_train_step,
+    )
+
+    mesh = make_mesh()
+    nd = mesh.devices.size
+    per_device = 4 if QUICK else 16
+    b = nd * per_device
+    model = AudioAutoencoder.create(
+        num_vertices=20, num_bands=16, sccn_hidden_dim=64
+    )
+    opt = make_optimizer(accumulate_grad_batches=1)
+    state = create_train_state(model, opt, jax.random.PRNGKey(0), (1, 1, T))
+    state = replicate(state, mesh)
+    step = make_train_step(model, opt, compute_dtype=jnp.bfloat16, donate=False)
+    batch = shard_batch(
+        jax.random.normal(jax.random.PRNGKey(1), (b, 3, 1, T)) * 0.1, mesh
+    )
+
+    def run(state, batch, rng):
+        with mesh:
+            s, m = step(state, batch, jnp.asarray(1.0), rng)
+        return m["total_loss"]
+
+    dt = _bench(run, state, batch, jax.random.PRNGKey(2))
+    _emit(
+        f"5_dp{nd}_bf16_b{b}", b / dt, "clips/s",
+        {"devices": nd, "per_chip": round(b / dt / nd, 2)},
+    )
+
+
+if __name__ == "__main__":
+    for fn in (config1, config2, config3, config4, config5):
+        try:
+            fn()
+        except Exception as e:  # keep the suite running
+            _emit(fn.__name__, -1, "error", {"error": str(e)[:200]})

@@ -12,10 +12,12 @@ from .precompute import (
     load_distances,
     sort_neighbors,
 )
+from .explore import explore_neighbors
 from .preprocess import load_split, load_wav, preprocess_split, save_wav
 from .synthetic import synth_corpus, synth_note
 
 __all__ = [
+    "explore_neighbors",
     "ContrastiveConfig",
     "NSynthDataset",
     "batch_iterator",

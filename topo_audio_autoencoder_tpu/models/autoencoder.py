@@ -54,10 +54,15 @@ class AudioAutoencoder(nn.Module):
         hard: bool = False,
         n_sccn_layers: int = 6,
         pqmf_attenuation: float = 100.0,
+        max_rank: int = 3,
     ) -> "AudioAutoencoder":
-        """Build tables + filterbank host-side once (audio2complex.py:18-38)."""
+        """Build tables + filterbank host-side once (audio2complex.py:18-38).
+
+        ``max_rank`` truncates the simplex hierarchy (1 = vertices+edges
+        only); higher ranks become statically-empty and cost nothing.
+        """
         return cls(
-            tables=build_tables(num_vertices),
+            tables=build_tables(num_vertices, max_rank),
             pqmf=PQMF.create(attenuation=pqmf_attenuation, n_band=num_bands),
             num_bands=num_bands,
             sccn_hidden_dim=sccn_hidden_dim,

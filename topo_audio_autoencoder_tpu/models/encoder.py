@@ -271,7 +271,9 @@ def rank_diversity_entropy(probs: RectifiedProbs) -> jnp.ndarray:
     """Negative entropy of mean activation across ranks (encoder.py:205-225):
     encourages activation mass spread over simplex ranks. Returns the loss
     term (-0.1 * entropy), batched."""
-    acts = jnp.stack([p.mean(axis=-1) for p in probs.ranks], axis=-1)  # [B, 4]
+    acts = jnp.stack(
+        [p.mean(axis=-1) for p in probs.ranks if p.shape[-1] > 0], axis=-1
+    )  # [B, <=4]; statically-empty ranks excluded (max_rank truncation)
     dist = acts / (acts.sum(axis=-1, keepdims=True) + 1e-10)
     entropy = -(dist * jnp.log(dist + 1e-10)).sum(axis=-1)
     return -0.1 * entropy

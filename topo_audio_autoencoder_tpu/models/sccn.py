@@ -85,6 +85,12 @@ class GradientSCCNLayer(nn.Module):
         out: list[jnp.ndarray] = []
         for rank in range(self.max_rank + 1):
             x = features[rank]  # [B, S_r, C]
+            # Statically-empty ranks (max_rank-truncated hierarchies) are
+            # passed through — the reference's missing-rank handling
+            # (custom_sccn.py:69-71) resolved at trace time.
+            if x.shape[-2] == 0:
+                out.append(x)
+                continue
             messages = []
 
             # Same-rank message: A_r @ X_r @ W  (factored for ranks >= 1).
@@ -94,8 +100,9 @@ class GradientSCCNLayer(nn.Module):
             msg = same_rank_matmul(ops, rank, w_same(x)) * scale_same
             messages.append(msg + x if self.residual else msg)
 
-            # High-to-low: B_{r+1} @ X_{r+1} @ W.
-            if rank < self.max_rank:
+            # High-to-low: B_{r+1} @ X_{r+1} @ W. Skipped when the higher
+            # rank is statically absent (custom_sccn.py:90-93).
+            if rank < self.max_rank and features[rank + 1].shape[-2] > 0:
                 w_h2l = nn.Dense(
                     self.channels, use_bias=False, name=f"high_to_low_{rank}"
                 )
@@ -191,6 +198,9 @@ class JumpingKnowledgeSCCN(nn.Module):
             # [B, S, L, C]: sequence axis = layer index.
             seq = jnp.stack([pl[rank] for pl in per_layer], axis=-2)
             b, s, l, c = seq.shape
+            if s == 0:
+                out.append(seq[:, :, 0, :])
+                continue
             seq = seq.reshape(b * s, l, c)
             h = lstm2(lstm1(seq))
             out.append(h[:, -1, :].reshape(b, s, c))

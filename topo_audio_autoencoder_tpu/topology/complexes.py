@@ -137,19 +137,39 @@ class ComplexTables:
 
 
 @lru_cache(maxsize=8)
-def build_tables(n: int) -> ComplexTables:
-    """Build all combinatorial tables for the complete complex on n vertices."""
-    if n < 4:
-        raise ValueError(f"need n >= 4 vertices for a rank-3 complex, got {n}")
+def build_tables(n: int, max_rank: int = MAX_RANK) -> ComplexTables:
+    """Build all combinatorial tables for the complete complex on n vertices.
+
+    ``max_rank`` < 3 truncates the hierarchy (e.g. 1 = vertices+edges only,
+    BASELINE config 2): higher ranks get zero-size tables, which flow
+    through the rectifier/builder/SCCN as empty (zero-cost) operands — no
+    special-casing anywhere downstream.
+    """
+    if n < 2 or n < max_rank + 1:
+        raise ValueError(f"need n >= max_rank+1 vertices, got n={n}")
+    if not 1 <= max_rank <= 3:
+        raise ValueError(f"max_rank must be in 1..3, got {max_rank}")
     edges = _combinations(n, 2)
-    triangles = _combinations(n, 3)
-    tetra = _combinations(n, 4)
+    triangles = (
+        _combinations(n, 3) if max_rank >= 2 else np.zeros((0, 3), np.int32)
+    )
+    tetra = (
+        _combinations(n, 4) if max_rank >= 3 else np.zeros((0, 4), np.int32)
+    )
 
     edge_lut = _lookup_array(edges, n)
-    tri_lut = _lookup_array(triangles, n)
+    tri_lut = _lookup_array(triangles, n) if max_rank >= 2 else None
 
-    tri_edges = _faces_of(triangles, edge_lut)  # [T, 3]
-    tet_tris = _faces_of(tetra, tri_lut)  # [Tt, 4]
+    tri_edges = (
+        _faces_of(triangles, edge_lut)
+        if max_rank >= 2
+        else np.zeros((0, 3), np.int32)
+    )  # [T, 3]
+    tet_tris = (
+        _faces_of(tetra, tri_lut)
+        if max_rank >= 3
+        else np.zeros((0, 4), np.int32)
+    )  # [Tt, 4]
 
     v2e = np.zeros((len(edges), n), dtype=np.float32)
     v2e[np.arange(len(edges))[:, None], edges] = 1.0
