@@ -90,6 +90,30 @@ class NSynthDataset:
         idxs = np.concatenate([[idx, positive], negatives])
         return self.waveforms[idxs][:, None, :]
 
+    def sample_batch(self, idxs: np.ndarray, seed: int) -> np.ndarray:
+        """Assemble a whole batch at once — native (C++, multithreaded)
+        when available, per-item Python otherwise.
+
+        Train: [B, G, 1, T]; eval: [B, 1, T].
+        """
+        if not self.train:
+            from .native_loader import gather_batch
+
+            return gather_batch(np.asarray(self.waveforms), idxs)[:, None, :]
+        c = self.config
+        from .native_loader import assemble_contrastive_batch
+
+        batch = assemble_contrastive_batch(
+            np.asarray(self.waveforms),
+            np.asarray(idxs, dtype=np.int32),
+            self.neighbors,
+            c.num_positive_neighbors,
+            c.num_negative_samples,
+            self.current_negative_offset,
+            seed,
+        )
+        return batch[:, :, None, :]
+
 
 def batch_iterator(
     dataset: NSynthDataset,
@@ -109,7 +133,7 @@ def batch_iterator(
     stop = n - (n % batch_size) if drop_remainder else n
     for start in range(0, stop, batch_size):
         idxs = order[start : start + batch_size]
-        yield np.stack([dataset[int(i)] for i in idxs])
+        yield dataset.sample_batch(idxs, seed + epoch * 100003 + start)
 
 
 def prefetch_to_device(iterator, size: int = 2):

@@ -34,15 +34,25 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _bits_to_uniform(bits):
+    """PRNG bits -> uniform in (0, 1).
+
+    ``prng_random_bits`` yields *signed* int32; bitcast to uint32 before the
+    shift or the arithmetic shift keeps the sign and uniforms collapse into
+    (0, 0.5) — a real sampler-skew bug caught by the TPU frac0/frac1 check.
+    """
+    u32 = jax.lax.bitcast_convert_type(bits, jnp.uint32)
+    u = (u32 >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    return jnp.clip(u, 1e-6, 1.0 - 1e-6)
+
+
 def _hard_concrete_kernel(seed_ref, logits_ref, temp_ref, out_ref, *, gamma, zeta):
     """One fused pass: uniform -> logistic -> stretched sigmoid -> clip."""
     from jax.experimental.pallas import tpu as pltpu
 
     pltpu.prng_seed(seed_ref[0])
     bits = pltpu.prng_random_bits(logits_ref.shape)
-    # uint32 -> uniform in (0, 1): keep 24 mantissa-worth bits
-    u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
-    u = jnp.clip(u, 1e-6, 1.0 - 1e-6)
+    u = _bits_to_uniform(bits)
     noise = jnp.log(u) - jnp.log1p(-u)
     temp = temp_ref[0]
     s = jax.nn.sigmoid((noise + logits_ref[:]) / temp)
@@ -99,8 +109,7 @@ def _binary_gumbel_kernel(seed_ref, logits_ref, temp_ref, out_ref):
 
     pltpu.prng_seed(seed_ref[0])
     bits = pltpu.prng_random_bits(logits_ref.shape)
-    u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
-    u = jnp.clip(u, 1e-6, 1.0 - 1e-6)
+    u = _bits_to_uniform(bits)
     noise = jnp.log(u) - jnp.log1p(-u)
     temp = temp_ref[0]
     out_ref[:] = jax.nn.sigmoid((2.0 * logits_ref[:] - 1.0 + noise) / temp)
