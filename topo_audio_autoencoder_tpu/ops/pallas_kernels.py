@@ -37,12 +37,14 @@ def _round_up(x: int, m: int) -> int:
 def _bits_to_uniform(bits):
     """PRNG bits -> uniform in (0, 1).
 
-    ``prng_random_bits`` yields *signed* int32; bitcast to uint32 before the
-    shift or the arithmetic shift keeps the sign and uniforms collapse into
-    (0, 0.5) — a real sampler-skew bug caught by the TPU frac0/frac1 check.
+    ``prng_random_bits`` yields *signed* int32; a plain arithmetic shift
+    keeps the sign and collapses uniforms into (0, 0.5) — a real
+    sampler-skew bug caught by the TPU frac0/frac1 check. Mosaic has no
+    uint32->float cast, so mask the sign-extension bits away instead:
+    (x >> 8) & 0xffffff equals the logical shift's low 24 bits.
     """
-    u32 = jax.lax.bitcast_convert_type(bits, jnp.uint32)
-    u = (u32 >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    low24 = (bits >> 8) & jnp.int32(0xFFFFFF)
+    u = low24.astype(jnp.float32) * (1.0 / (1 << 24))
     return jnp.clip(u, 1e-6, 1.0 - 1e-6)
 
 
