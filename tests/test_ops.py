@@ -98,6 +98,15 @@ def test_stft_shapes(rng):
     assert len(specs) == 2
 
 
+def test_stft_matmul_matches_fft(rng):
+    """The MXU (DFT-matmul) STFT path must agree with the FFT path."""
+    x = jnp.array(rng.standard_normal((2, 4096)), dtype=jnp.float32)
+    for n in (1024, 256):
+        a = stft_magnitude(x, n, method="fft")
+        b = stft_magnitude(x, n, method="matmul")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_stft_parseval_sine(rng):
     """A unit sine's magnitude STFT peaks at the right bin."""
     t, n_fft = 8192, 1024

@@ -19,7 +19,7 @@ Conventions (self-consistent; documented rather than bit-matching torch):
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -48,15 +48,50 @@ def frame_signal(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
     return jnp.concatenate(views, axis=-1)  # [..., F, n_fft]
 
 
-def stft_magnitude(x: jnp.ndarray, n_fft: int, hop: int | None = None) -> jnp.ndarray:
+@lru_cache(maxsize=16)
+def _windowed_dft_matrices(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """Hann-windowed real-DFT basis [n_fft, n_fft//2+1] (cos, -sin).
+
+    The window folds into the basis so the whole STFT is two matmuls.
+    """
+    k = np.arange(n_fft // 2 + 1)
+    t = np.arange(n_fft)
+    ang = 2.0 * np.pi * np.outer(t, k) / n_fft
+    w = np.hanning(n_fft + 1)[:-1]
+    return (
+        (np.cos(ang) * w[:, None]).astype(np.float32),
+        (-np.sin(ang) * w[:, None]).astype(np.float32),
+    )
+
+
+def stft_magnitude(
+    x: jnp.ndarray,
+    n_fft: int,
+    hop: int | None = None,
+    method: str = "auto",
+) -> jnp.ndarray:
     """Centered, Hann-windowed, normalized magnitude STFT.
 
     x: [..., T] -> [..., F, n_fft//2 + 1]
+
+    method: 'fft' uses jnp.fft.rfft; 'matmul' evaluates the windowed real
+    DFT as two MXU matmuls (frames @ cos/sin basis) — on TPU the batched
+    matmul beats the emulated FFT at these window sizes and fuses with the
+    framing reshapes; 'auto' picks matmul on TPU, fft elsewhere.
     """
     hop = hop or n_fft // 4
     pad = n_fft // 2
     x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
     frames = frame_signal(x, n_fft, hop)
+    if method == "auto":
+        method = "matmul" if jax.default_backend() == "tpu" else "fft"
+    if method == "matmul":
+        cos_b, nsin_b = _windowed_dft_matrices(n_fft)
+        f32 = frames.astype(jnp.float32)
+        re = f32 @ jnp.asarray(cos_b)
+        im = f32 @ jnp.asarray(nsin_b)
+        mag = jnp.sqrt(re * re + im * im + 1e-24)
+        return (mag / np.sqrt(n_fft)).astype(frames.dtype)
     window = jnp.asarray(np.hanning(n_fft + 1)[:-1], dtype=x.dtype)
     spec = jnp.fft.rfft(frames * window, axis=-1)
     return jnp.abs(spec) / np.sqrt(n_fft)
