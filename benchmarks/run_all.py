@@ -193,8 +193,12 @@ def config5():
 
 
 if __name__ == "__main__":
-    for fn in (config1, config2, config3, config4, config5):
+    all_cfgs = {
+        "1": config1, "2": config2, "3": config3, "4": config4, "5": config5,
+    }
+    wanted = [a for a in sys.argv[1:] if a in all_cfgs] or list(all_cfgs)
+    for key in wanted:
         try:
-            fn()
+            all_cfgs[key]()
         except Exception as e:  # keep the suite running
-            _emit(fn.__name__, -1, "error", {"error": str(e)[:200]})
+            _emit(all_cfgs[key].__name__, -1, "error", {"error": str(e)[:200]})

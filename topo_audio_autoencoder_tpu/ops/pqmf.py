@@ -26,6 +26,7 @@ Compute (device-side, JAX):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import lru_cache
 
 import jax.numpy as jnp
 import numpy as np
@@ -120,6 +121,13 @@ def design_prototype(attenuation: float, n_band: int) -> tuple[np.ndarray, float
     return h, float(res.fun)
 
 
+@lru_cache(maxsize=8)
+def _design_cached(attenuation: float, n_band: int):
+    """The cutoff optimization costs ~10s of host time per (att, M) — cache
+    it per process so repeated model creation is free."""
+    return design_prototype(attenuation, n_band)
+
+
 @dataclass(frozen=True, eq=False)
 class PQMF:
     """Near-perfect-reconstruction pseudo-QMF filterbank.
@@ -135,7 +143,7 @@ class PQMF:
 
     @classmethod
     def create(cls, attenuation: float = 100.0, n_band: int = 16) -> "PQMF":
-        h, err = design_prototype(attenuation, n_band)
+        h, err = _design_cached(float(attenuation), int(n_band))
         hk = _modulate(h, n_band).astype(np.float32)
         return cls(attenuation=attenuation, n_band=n_band, filters=hk, recon_error=err)
 

@@ -4,7 +4,6 @@ from .losses import LossWeights, autoencoder_loss
 from .metrics import MetricWriter, TrainingMetrics
 from .checkpoint import CheckpointManager
 from .train_step import (
-    Hyperparams,
     TrainState,
     anneal_temperature,
     component_grad_norms,
@@ -21,7 +20,6 @@ __all__ = [
     "MetricWriter",
     "TrainingMetrics",
     "CheckpointManager",
-    "Hyperparams",
     "TrainState",
     "anneal_temperature",
     "component_grad_norms",

@@ -41,14 +41,6 @@ class TrainState(NamedTuple):
     step: jnp.ndarray  # int32 micro-step counter
 
 
-class Hyperparams(NamedTuple):
-    """The tunable knobs of the reference grid search (main.py:261-265)."""
-
-    encoder_lr: float = 1e-3
-    decoder_lr: float = 1e-4
-    complexity_penalty: float = 0.1
-
-
 def make_optimizer(
     encoder_lr: float = 1e-3,
     decoder_lr: float = 1e-4,
