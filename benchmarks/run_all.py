@@ -115,13 +115,15 @@ def config3():
 
 def config4():
     """One training epoch over a synthetic corpus with on-device distance
-    cache, batch=128 (64 in --quick)."""
+    cache, batch=128 (32 in --quick). Device-resident corpus: steps
+    receive [B, G] index matrices, waveform gathers happen in HBM."""
     from topo_audio_autoencoder_tpu.data import (
-        NSynthDataset, batch_iterator, compute_distances, synth_corpus,
+        NSynthDataset, compute_distances, index_iterator, synth_corpus,
     )
     from topo_audio_autoencoder_tpu.models import AudioAutoencoder
     from topo_audio_autoencoder_tpu.training import (
-        anneal_temperature, create_train_state, make_optimizer, make_train_step,
+        anneal_temperature, create_train_state, make_indexed_train_step,
+        make_optimizer,
     )
 
     n, b = (128, 32) if QUICK else (512, 128)
@@ -136,18 +138,20 @@ def config4():
     )
     opt = make_optimizer(accumulate_grad_batches=1)
     state = create_train_state(model, opt, jax.random.PRNGKey(0), (1, 1, T))
-    step = make_train_step(model, opt, donate=False)
+    step = make_indexed_train_step(
+        model, opt, jnp.asarray(corpus), donate=False
+    )
 
     temp = anneal_temperature(0)
     # warmup compile on first batch shape
-    first = next(iter(batch_iterator(ds, b)))
+    first = next(iter(index_iterator(ds, b)))
     state, _ = step(state, jnp.asarray(first), temp, jax.random.PRNGKey(1))
     jax.block_until_ready(state.params)
 
     t0 = time.perf_counter()
     count = 0
-    for i, batch in enumerate(batch_iterator(ds, b)):
-        state, m = step(state, jnp.asarray(batch), temp, jax.random.PRNGKey(i))
+    for i, idxs in enumerate(index_iterator(ds, b)):
+        state, m = step(state, jnp.asarray(idxs), temp, jax.random.PRNGKey(i))
         count += b
     jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0

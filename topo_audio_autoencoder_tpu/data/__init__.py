@@ -4,6 +4,7 @@ from .dataset import (
     ContrastiveConfig,
     NSynthDataset,
     batch_iterator,
+    index_iterator,
     prefetch_to_device,
 )
 from .precompute import (
@@ -21,6 +22,7 @@ __all__ = [
     "ContrastiveConfig",
     "NSynthDataset",
     "batch_iterator",
+    "index_iterator",
     "prefetch_to_device",
     "compute_distance_matrix",
     "compute_distances",

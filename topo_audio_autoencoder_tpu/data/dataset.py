@@ -90,6 +90,30 @@ class NSynthDataset:
         idxs = np.concatenate([[idx, positive], negatives])
         return self.waveforms[idxs][:, None, :]
 
+    def sample_batch_indices(self, idxs: np.ndarray, seed: int) -> np.ndarray:
+        """Index-only batch assembly: [B, G] int32 of corpus rows
+        (anchor, positive, negatives...), same sampling semantics as
+        ``sample_batch``. For the device-resident-corpus path: the corpus
+        lives in HBM once and the train step gathers rows on device, so
+        each step ships B*G*4 bytes instead of B*G*T*4 (the reference
+        reloads waveforms from disk per item, nsyth_dataset.py:48-62).
+        """
+        if not self.train:
+            return np.asarray(idxs, dtype=np.int32)[:, None]
+        c = self.config
+        rng = np.random.default_rng(seed)
+        n_nb = self.neighbors.shape[1]
+        neg_end = min(self.current_negative_offset, n_nb)
+        neg_start = max(0, neg_end - c.num_negative_samples)
+        rows = []
+        for a in np.asarray(idxs):
+            pos = self.neighbors[a, rng.integers(0, min(c.num_positive_neighbors, n_nb))]
+            negs = self.neighbors[a, neg_start:neg_end]
+            if len(negs) < c.num_negative_samples:
+                negs = np.pad(negs, (0, c.num_negative_samples - len(negs)), mode="edge")
+            rows.append(np.concatenate([[a, pos], negs]))
+        return np.stack(rows).astype(np.int32)
+
     def sample_batch(self, idxs: np.ndarray, seed: int) -> np.ndarray:
         """Assemble a whole batch at once — native (C++, multithreaded)
         when available, per-item Python otherwise.
@@ -134,6 +158,26 @@ def batch_iterator(
     for start in range(0, stop, batch_size):
         idxs = order[start : start + batch_size]
         yield dataset.sample_batch(idxs, seed + epoch * 100003 + start)
+
+
+def index_iterator(
+    dataset: NSynthDataset,
+    batch_size: int,
+    shuffle: bool = True,
+    seed: int = 511990,
+    epoch: int = 0,
+    drop_remainder: bool = True,
+):
+    """Like ``batch_iterator`` but yields [B, G] index matrices for the
+    device-resident-corpus train path (see ``sample_batch_indices``)."""
+    n = len(dataset)
+    order = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed + epoch).shuffle(order)
+    stop = n - (n % batch_size) if drop_remainder else n
+    for start in range(0, stop, batch_size):
+        idxs = order[start : start + batch_size]
+        yield dataset.sample_batch_indices(idxs, seed + epoch * 100003 + start)
 
 
 def prefetch_to_device(iterator, size: int = 2):

@@ -11,6 +11,7 @@ from .train_step import (
     make_eval_step,
     make_optimizer,
     make_train_step,
+    make_indexed_train_step,
 )
 from .trainer import Trainer, TrainerConfig
 
@@ -27,6 +28,7 @@ __all__ = [
     "make_eval_step",
     "make_optimizer",
     "make_train_step",
+    "make_indexed_train_step",
     "Trainer",
     "TrainerConfig",
 ]

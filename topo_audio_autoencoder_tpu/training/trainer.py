@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.dataset import NSynthDataset, batch_iterator
+from ..data.dataset import NSynthDataset, batch_iterator, index_iterator
 from ..data.preprocess import save_wav
 from ..models.autoencoder import AudioAutoencoder
 from .checkpoint import CheckpointManager
@@ -43,6 +43,7 @@ from .train_step import (
     anneal_temperature,
     create_train_state,
     make_eval_step,
+    make_indexed_train_step,
     make_optimizer,
     make_train_step,
 )
@@ -76,6 +77,10 @@ class TrainerConfig:
     compute_dtype: str = "float32"  # or "bfloat16"
     with_grad_norms: bool = True
     dump_audio: bool = True
+    # Keep the training corpus resident in HBM and ship only [B, G] index
+    # matrices per step (the contrastive stacks are G-fold redundant corpus
+    # rows; gathering on device cuts H2D traffic ~G*T/4-fold).
+    device_corpus: bool = True
 
 
 class Trainer:
@@ -122,14 +127,25 @@ class Trainer:
             invalid_state_penalty=cfg.invalid_state_penalty,
         )
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-        self.train_step = make_train_step(
-            self.model,
-            self.optimizer,
-            weights,
-            compute_dtype=dtype,
-            with_grad_norms=cfg.with_grad_norms,
-            donate=False,
-        )
+        if cfg.device_corpus:
+            self.train_step = make_indexed_train_step(
+                self.model,
+                self.optimizer,
+                jnp.asarray(np.asarray(self.train_dataset.waveforms)),
+                weights,
+                compute_dtype=dtype,
+                with_grad_norms=cfg.with_grad_norms,
+                donate=False,
+            )
+        else:
+            self.train_step = make_train_step(
+                self.model,
+                self.optimizer,
+                weights,
+                compute_dtype=dtype,
+                with_grad_norms=cfg.with_grad_norms,
+                donate=False,
+            )
         self.eval_step = make_eval_step(self.model, weights)
 
     def init_state(self) -> TrainState:
@@ -147,7 +163,8 @@ class Trainer:
             epoch, cfg.initial_temp, cfg.min_temp, cfg.temp_decay
         )
         total, count = 0.0, 0
-        it = batch_iterator(
+        make_iter = index_iterator if cfg.device_corpus else batch_iterator
+        it = make_iter(
             self.train_dataset, cfg.batch_size, shuffle=True,
             seed=cfg.seed, epoch=epoch,
         )
@@ -299,7 +316,12 @@ class Trainer:
         """Input/output wav dump + complex-size metadata
         (trainer.py:163-184), using the deterministic eval path."""
         cfg = self.cfg
-        x = jnp.asarray(batch[:1, 0] if batch.ndim == 4 else batch[:1])
+        if batch.ndim == 2:  # index batch (device-corpus path) -> anchor row
+            x = jnp.asarray(
+                np.asarray(self.train_dataset.waveforms)[batch[:1, 0]]
+            )[:, None, :]
+        else:
+            x = jnp.asarray(batch[:1, 0] if batch.ndim == 4 else batch[:1])
         out = self.model.apply(self.state.params, x, 1.0, None, False)
         d = self.checkpoint_dir / f"samples/epoch_{epoch}_iter_{iteration}"
         d.mkdir(parents=True, exist_ok=True)
