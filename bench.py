@@ -35,7 +35,9 @@ def main() -> None:
         make_train_step,
     )
 
-    batch_size = 8
+    # batch 32 saturates the chip (batch 8 is dispatch-bound: 1.3k clips/s
+    # vs 4.4k at 32, measured on v5e)
+    batch_size = 32
     group = 3  # anchor + positive + 1 negative (InfoNCE active)
     t = 64000
 
