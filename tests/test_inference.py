@@ -1,0 +1,65 @@
+"""Codec inference API tests: latent sufficiency, persistence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from topo_audio_autoencoder_tpu.inference import Codec, load_params, save_params
+from topo_audio_autoencoder_tpu.models import AudioAutoencoder
+
+T = 4096
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = AudioAutoencoder.create(
+        num_vertices=6, num_bands=4, sccn_hidden_dim=16, n_sccn_layers=2
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 1, T))
+    params = model.init(
+        {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+        x, 1.0, jax.random.PRNGKey(3), True,
+    )
+    return model, params, x
+
+
+def test_encode_is_binary(setup):
+    model, params, x = setup
+    lat = Codec(model, params).encode(x)
+    for l, s in zip(lat.ranks, model.tables.sizes):
+        assert l.shape == (2, s)
+        assert set(np.unique(np.asarray(l))) <= {0.0, 1.0}
+
+
+def test_latent_is_sufficient(setup):
+    """Decoding from the latent alone == the full model's eval forward:
+    the complex really is the whole code."""
+    model, params, x = setup
+    codec = Codec(model, params)
+    lat = codec.encode(x)
+    y = codec.decode(lat, T)
+    rec = codec.reconstruct(x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(rec), atol=1e-5)
+
+
+def test_latent_respects_closure(setup):
+    """Encoded latents form valid complexes (every face present)."""
+    from topo_audio_autoencoder_tpu.topology import (
+        RectifiedProbs, constraint_violations,
+    )
+
+    model, params, x = setup
+    lat = Codec(model, params).encode(x)
+    v = constraint_violations(RectifiedProbs(*lat.ranks), model.tables)
+    assert v["edge_zero_face"] == 0.0
+    assert v["triangle_zero_face"] == 0.0
+    assert v["tetra_zero_face"] == 0.0
+
+
+def test_params_roundtrip(tmp_path, setup):
+    model, params, x = setup
+    save_params(tmp_path, params)
+    p2 = load_params(tmp_path, params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
