@@ -25,6 +25,11 @@ import jax  # noqa: E402
 # jax_platforms to its own backend at interpreter startup, which beats the
 # env var. Override back to CPU before any backend is initialized.
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the suite is compile-dominated (the full
+# train step takes ~75s to build on CPU); cache hits cut reruns ~10x.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -15,13 +15,15 @@ from topo_audio_autoencoder_tpu.topology import (
     enforce_constraints_flat,
 )
 
-T = 2048
+T = 1024
 
 
 @pytest.fixture(scope="module")
 def model():
+    # smallest config that still exercises every stage: CPU compiles of
+    # fwd+grad dominate the suite's wall clock
     return AudioAutoencoder.create(
-        num_vertices=6, num_bands=4, sccn_hidden_dim=16, n_sccn_layers=2
+        num_vertices=5, num_bands=4, sccn_hidden_dim=8, n_sccn_layers=1
     )
 
 
