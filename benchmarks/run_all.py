@@ -50,7 +50,7 @@ def config1():
         num_vertices=20, num_bands=16, sccn_hidden_dim=64, hard=True
     )
     x = jnp.zeros((1, 1, T))
-    params = model.init(
+    params = model.jit_init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         x, 1.0, jax.random.PRNGKey(2), True,
     )
@@ -74,7 +74,7 @@ def config2():
         num_vertices=20, num_bands=16, sccn_hidden_dim=64, max_rank=1
     )
     x = jax.random.normal(jax.random.PRNGKey(0), (8, 1, T)) * 0.1
-    params = model.init(
+    params = model.jit_init(
         {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
         x[:1], 1.0, jax.random.PRNGKey(3), True,
     )

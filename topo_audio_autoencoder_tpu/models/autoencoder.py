@@ -126,3 +126,15 @@ class AudioAutoencoder(nn.Module):
     def num_params(self, params) -> int:
         """Total parameter count (audio2complex.py:61-62)."""
         return sum(int(p.size) for p in jax.tree.leaves(params))
+
+    def jit_init(self, rngs, x, temperature=1.0, rng=None, train=True):
+        """Compiled parameter initialization. Eager ``init`` dispatches
+        thousands of tiny ops — ~400s over a remote-TPU link vs ~30s
+        compiled. ``train`` is static (it gates Python control flow)."""
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        import functools
+
+        return functools.partial(jax.jit, static_argnums=(4,))(self.init)(
+            rngs, x, temperature, rng, train
+        )

@@ -83,9 +83,7 @@ def create_train_state(
 ) -> TrainState:
     x = jnp.zeros(sample_shape, jnp.float32)
     prng, drng, srng = jax.random.split(rng, 3)
-    params = model.init(
-        {"params": prng, "dropout": drng}, x, 1.0, srng, True
-    )
+    params = model.jit_init({"params": prng, "dropout": drng}, x, 1.0, srng, True)
     return TrainState(
         params=params,
         opt_state=optimizer.init(params),
