@@ -21,10 +21,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Reference implicit baseline: single-CPU PyTorch, batch 1 — measured order
-# of magnitude for a full fwd+bwd step of this model on CPU (SURVEY §6: no
-# published numbers; this is the step-0 anchor, conservative high estimate).
-REF_CLIPS_PER_SEC = 0.5
+# Reference implicit baseline: single-CPU PyTorch, batch 1. The reference
+# publishes no numbers (SURVEY §6) and can't run here (missing deps), so
+# this is MEASURED from benchmarks/reference_proxy_torch.py — a torch-CPU
+# reconstruction of the same compute graph: 1.82 clips/s fwd+bwd.
+REF_CLIPS_PER_SEC = 1.818
 
 
 def main() -> None:

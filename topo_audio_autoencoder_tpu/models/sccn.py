@@ -56,7 +56,10 @@ class MessageAttention(nn.Module):
         # stacked: [M, B, S, C]
         h = nn.Dense(self.channels)(stacked)
         h = nn.gelu(h)
-        scores = nn.Dense(1)(h)  # [M, B, S, 1]
+        # No bias on the score head: softmax over the message axis is
+        # shift-invariant, so a scalar score bias is provably gradient-free
+        # (the reference carries one as dead weight, custom_sccn.py:32).
+        scores = nn.Dense(1, use_bias=False)(h)  # [M, B, S, 1]
         attn = nn.softmax(scores, axis=0)
         return (stacked * attn).sum(axis=0)  # [B, S, C]
 
