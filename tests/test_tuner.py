@@ -1,0 +1,76 @@
+"""Vmapped grid tuner tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from topo_audio_autoencoder_tpu.data import (
+    NSynthDataset,
+    batch_iterator,
+    compute_distances,
+    synth_corpus,
+)
+from topo_audio_autoencoder_tpu.models import AudioAutoencoder
+from topo_audio_autoencoder_tpu.training import VmappedGridTuner
+
+T = 1024
+
+
+@pytest.fixture(scope="module")
+def setup():
+    corpus = synth_corpus(6, T, seed=1)
+    d = compute_distances(corpus, tile=6, scales=(256,))
+    train = NSynthDataset(corpus, d["neighbors"], train=True)
+    val = NSynthDataset(synth_corpus(4, T, seed=2), train=False)
+    model = AudioAutoencoder.create(
+        num_vertices=4, num_bands=4, sccn_hidden_dim=8, n_sccn_layers=1
+    )
+    return model, train, val
+
+
+def test_vmapped_tuner_selects_best(setup):
+    model, train, val = setup
+    tuner = VmappedGridTuner(model)
+    grid = {
+        "encoder_lr": [1e-3, 5e-4],
+        "decoder_lr": [1e-4],
+        "complexity_penalty": [0.05, 0.1],
+    }
+    result = tuner.tune(
+        grid,
+        train_batches=lambda e: batch_iterator(train, 2, epoch=e),
+        val_batches=lambda: batch_iterator(val, 2, shuffle=False),
+        epochs=1,
+    )
+    assert len(result["val_losses"]) == 4
+    assert all(np.isfinite(v) for v in result["val_losses"])
+    assert result["best_index"] == int(np.argmin(result["val_losses"]))
+    bp = result["best_params"]
+    assert bp["encoder_lr"] in grid["encoder_lr"]
+    assert bp["decoder_lr"] in grid["decoder_lr"]
+    assert bp["complexity_penalty"] in grid["complexity_penalty"]
+
+
+def test_vmapped_combos_diverge(setup):
+    """Different LRs must actually produce different parameters."""
+    model, train, val = setup
+    tuner = VmappedGridTuner(model)
+    grid = {
+        "encoder_lr": [1e-2, 1e-5],
+        "decoder_lr": [1e-4],
+        "complexity_penalty": [0.1],
+    }
+    state = tuner.init_grid(grid, (1, 1, T))
+    batch = jnp.asarray(next(iter(batch_iterator(train, 2))))
+    rngs = jax.random.split(jax.random.PRNGKey(0), 2)
+    # both combos start from *different seeds* already; check the update
+    # magnitude tracks the LR by measuring param movement per combo
+    # grid_step donates the state, so snapshot the before-values to host
+    leaf_b = np.asarray(
+        jax.tree.leaves(state.params["params"]["encoder"])[0]
+    ).copy()
+    state2, losses = tuner.grid_step(state, batch, jnp.asarray(1.0), rngs)
+    leaf_a = jax.tree.leaves(state2.params["params"]["encoder"])[0]
+    moved = np.abs(np.asarray(leaf_a) - np.asarray(leaf_b)).reshape(2, -1).mean(1)
+    assert moved[0] > moved[1] * 10  # 1e-2 lr moves much more than 1e-5

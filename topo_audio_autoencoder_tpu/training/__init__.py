@@ -14,6 +14,7 @@ from .train_step import (
     make_indexed_train_step,
 )
 from .trainer import Trainer, TrainerConfig
+from .tuner import GridState, VmappedGridTuner
 
 __all__ = [
     "LossWeights",
@@ -30,5 +31,7 @@ __all__ = [
     "make_train_step",
     "make_indexed_train_step",
     "Trainer",
+    "GridState",
+    "VmappedGridTuner",
     "TrainerConfig",
 ]

@@ -1,0 +1,217 @@
+"""Vmapped hyperparameter grid search: every combo trains at once.
+
+The reference tunes its 8-combo grid (encoder_lr x decoder_lr x
+complexity_penalty, main.py:261-265) *sequentially* — 8 separate 5-epoch
+runs (trainer.py:186-244). On TPU the model is small relative to the chip,
+so the grid becomes a vmapped leading axis: K parameter trees, K optimizer
+states, K hyperparameter scalars, one compiled step that advances all
+combos on the same batch simultaneously. An 8-combo search costs roughly
+one run's wall-clock.
+
+Hyperparameters stay *dynamic* (per-combo traced scalars), so the compiled
+step is reused across any grid of the same size:
+
+- learning rates: Adam is factored as ``clip -> scale_by_adam`` and the
+  normalized update is scaled by the per-combo (encoder, decoder) LRs,
+  exactly equivalent to two-group ``adam(lr)`` (trainer.py:80-87).
+- complexity_penalty enters the loss as a traced weight.
+
+The sequential, per-combo-resumable tuner remains in
+``Trainer.tune_hyperparameters`` for checkpoint-compatible runs.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.autoencoder import AudioAutoencoder
+from ..models.encoder import info_nce_loss, rank_diversity_entropy, vertex_count_penalty
+from .losses import LossWeights, autoencoder_loss
+from .train_step import _cast_tree
+
+
+class GridState(NamedTuple):
+    params: any  # K-stacked param trees
+    opt_state: any  # K-stacked scale_by_adam states
+    encoder_lr: jnp.ndarray  # [K]
+    decoder_lr: jnp.ndarray  # [K]
+    complexity_penalty: jnp.ndarray  # [K]
+
+
+def _grid_combos(grid: dict) -> list[tuple[float, float, float]]:
+    return list(
+        itertools.product(
+            grid["encoder_lr"], grid["decoder_lr"], grid["complexity_penalty"]
+        )
+    )
+
+
+class VmappedGridTuner:
+    def __init__(
+        self,
+        model: AudioAutoencoder,
+        gradient_clip_val: float = 10.0,
+        compute_dtype=jnp.float32,
+        weights: LossWeights = LossWeights(),
+    ):
+        self.model = model
+        self.base_weights = weights
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(gradient_clip_val),
+            optax.scale_by_adam(),
+        )
+        model_ref = model
+        cast = compute_dtype
+
+        def loss_fn(params, cpx, batch, temperature, rng):
+            b, g, _, t = batch.shape
+            srng, drng = jax.random.split(rng)
+            cp = _cast_tree(params, cast)
+            flat = batch.reshape(b * g, 1, t).astype(cast)
+            bands = model_ref.pqmf.forward(flat)
+            logits = model_ref.apply(
+                cp, jnp.swapaxes(bands, -1, -2), True,
+                rngs={"dropout": drng},
+                method=lambda m, x, tr: m.encoder.compute_logits(x, tr),
+            )
+            contrastive = (
+                info_nce_loss(logits.reshape(b, g, -1).astype(jnp.float32))
+                if g >= 3 else None
+            )
+            enc = model_ref.apply(
+                cp, logits.reshape(b, g, -1)[:, 0], temperature, srng, True,
+                method=lambda m, l, tp, r, tr: m.encoder.generate_complex(l, tp, r, tr),
+            )
+            recon = model_ref.apply(
+                cp, enc, t // model_ref.num_bands, True,
+                rngs={"dropout": drng},
+                method=lambda m, e, dl, tr: m.decode(e, dl, tr),
+            )
+            aux = {
+                "binary_entropy": rank_diversity_entropy(enc.rectified),
+                "diversity": vertex_count_penalty(
+                    enc.rectified.vertices,
+                    model_ref.min_active_vertices,
+                    model_ref.max_active_vertices,
+                ),
+            }
+            w = self.base_weights._replace(complexity_penalty=cpx)
+            total, comps = autoencoder_loss(
+                recon.astype(jnp.float32),
+                flat.reshape(b, g, 1, t)[:, 0].astype(jnp.float32),
+                {k: v.astype(jnp.float32) for k, v in aux.items()},
+                enc.valid, w, contrastive,
+            )
+            return total, comps
+
+        tx = self.tx
+
+        def combo_step(params, opt_state, lr_e, lr_d, cpx, batch, temp, rng):
+            (loss, comps), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, cpx, batch, temp, rng
+            )
+            grads = _cast_tree(grads, jnp.float32)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            # two-group LR scaling == {encoder: adam(lr_e), decoder: adam(lr_d)}
+            scaled = {
+                "params": {
+                    k: jax.tree.map(
+                        lambda u: -(lr_e if k == "encoder" else lr_d) * u, v
+                    )
+                    for k, v in updates["params"].items()
+                }
+            }
+            params = optax.apply_updates(params, scaled)
+            return params, opt_state, loss
+
+        def grid_step(state: GridState, batch, temp, rngs):
+            params, opt_state, loss = jax.vmap(
+                combo_step, in_axes=(0, 0, 0, 0, 0, None, None, 0)
+            )(
+                state.params, state.opt_state,
+                state.encoder_lr, state.decoder_lr, state.complexity_penalty,
+                batch, temp, rngs,
+            )
+            return state._replace(params=params, opt_state=opt_state), loss
+
+        def combo_eval(params, cpx, batch):
+            out = model_ref.apply(params, batch, 1.0, None, False)
+            w = self.base_weights._replace(complexity_penalty=cpx)
+            total, _ = autoencoder_loss(
+                out.waveform, batch, out.aux, out.valid, w
+            )
+            return total
+
+        self.grid_step = jax.jit(grid_step, donate_argnums=(0,))
+        self.grid_eval = jax.jit(
+            jax.vmap(combo_eval, in_axes=(0, 0, None))
+        )
+
+    def init_grid(self, grid: dict, sample_shape, seed: int = 511990) -> GridState:
+        """K independently-seeded param trees + per-combo hyperparams."""
+        combos = _grid_combos(grid)
+        k = len(combos)
+        x = jnp.zeros(sample_shape, jnp.float32)
+
+        def init_one(rng):
+            p, d, s = jax.random.split(rng, 3)
+            return self.model.init({"params": p, "dropout": d}, x, 1.0, s, True)
+
+        keys = jax.random.split(jax.random.PRNGKey(seed), k)
+        params = jax.jit(jax.vmap(init_one))(keys)
+        opt_state = jax.vmap(self.tx.init)(params)
+        enc, dec, cpx = (jnp.asarray([c[i] for c in combos]) for i in range(3))
+        return GridState(params, opt_state, enc, dec, cpx)
+
+    def tune(
+        self,
+        grid: dict,
+        train_batches,  # iterable of [B, G, 1, T] (re-iterable per epoch)
+        val_batches,  # iterable of [B, 1, T]
+        epochs: int = 5,
+        seed: int = 0,
+    ) -> dict:
+        """Train every combo simultaneously; returns best combo + curves."""
+        combos = _grid_combos(grid)
+        state = None
+        rng = jax.random.PRNGKey(seed)
+        train_curve = []
+        for epoch in range(epochs):
+            for batch in train_batches(epoch):
+                batch = jnp.asarray(batch)
+                if state is None:
+                    state = self.init_grid(
+                        grid, (1, 1, batch.shape[-1]), seed
+                    )
+                rng, sub = jax.random.split(rng)
+                step_rngs = jax.random.split(sub, len(combos))
+                state, losses = self.grid_step(
+                    state, batch, jnp.asarray(1.0), step_rngs
+                )
+                train_curve.append(np.asarray(losses))
+        val_losses = 0.0
+        n_val = 0
+        for batch in val_batches():
+            val_losses = val_losses + np.asarray(
+                self.grid_eval(state.params, state.complexity_penalty, jnp.asarray(batch))
+            )
+            n_val += 1
+        val_losses = val_losses / max(n_val, 1)
+        best = int(np.argmin(val_losses))
+        return {
+            "best_index": best,
+            "best_params": {
+                "encoder_lr": combos[best][0],
+                "decoder_lr": combos[best][1],
+                "complexity_penalty": combos[best][2],
+            },
+            "val_losses": val_losses.tolist(),
+            "train_curve": [l.tolist() for l in train_curve],
+            "state": state,
+        }
