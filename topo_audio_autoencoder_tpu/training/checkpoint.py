@@ -20,26 +20,50 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    """Thin wrapper over an Orbax PyTreeCheckpointer keyed by name."""
+    """Thin wrapper over an Orbax checkpointer keyed by name.
 
-    def __init__(self, directory: str | Path):
+    ``use_async=True`` saves in a background thread (preemption tolerance
+    without blocking the train loop, SURVEY §5.3); in-flight saves are
+    finalized by ``wait()`` / the next save / interpreter exit.
+    """
+
+    def __init__(self, directory: str | Path, use_async: bool = False):
         self.directory = Path(directory).resolve()
         self.directory.mkdir(parents=True, exist_ok=True)
-        self._ckptr = ocp.PyTreeCheckpointer()
+        self._ckptr = (
+            ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+            if use_async
+            else ocp.PyTreeCheckpointer()
+        )
+        self._async = use_async
 
     def _path(self, name: str) -> Path:
         return self.directory / name
 
     def save(self, name: str, state: Any, extra: dict | None = None) -> None:
-        """Save a pytree state (+ a small JSON sidecar of host metadata)."""
+        """Save a pytree state (+ a small JSON sidecar of host metadata).
+
+        The sidecar lives *next to* the checkpoint dir, not inside it:
+        Orbax materializes the dir via tmp+rename, so writing into the
+        final path while an async save is in flight would corrupt it.
+        """
         path = self._path(name)
         self._ckptr.save(path, jax.device_get(state), force=True)
         if extra is not None:
-            (path / "extra.json").write_text(json.dumps(extra))
+            self._extra_path(name).write_text(json.dumps(extra))
+
+    def _extra_path(self, name: str) -> Path:
+        return self.directory / f"{name}.extra.json"
+
+    def wait(self) -> None:
+        """Block until any in-flight async save is durable."""
+        if self._async:
+            self._ckptr.wait_until_finished()
 
     def restore(self, name: str, template: Any = None) -> Any:
         """Restore by name; ``template`` gives dtypes/shapes (and
         distinguishes lists from tuples, which the on-disk tree loses)."""
+        self.wait()
         path = self._path(name)
         if template is not None:
             target = jax.tree.map(np.asarray, jax.device_get(template))
@@ -49,7 +73,9 @@ class CheckpointManager:
         return restored
 
     def load_extra(self, name: str) -> dict | None:
-        p = self._path(name) / "extra.json"
+        p = self._extra_path(name)
+        if not p.exists():  # legacy layout: sidecar inside the dir
+            p = self._path(name) / "extra.json"
         return json.loads(p.read_text()) if p.exists() else None
 
     def exists(self, name: str) -> bool:
@@ -60,6 +86,8 @@ class CheckpointManager:
         tuning (reference trainer.py:462-469)."""
         best_n, best = -1, None
         for p in self.directory.glob(f"{prefix}*"):
+            if not p.is_dir():  # skip .extra.json sidecars
+                continue
             try:
                 n = int(p.name.split("_")[1])
             except (IndexError, ValueError):

@@ -240,6 +240,48 @@ class Trainer:
 
     # ------------------------------------------------------------ tuner
 
+    def tune_hyperparameters_vmapped(self, hyper_params: dict) -> dict | None:
+        """Grid search with every combo trained simultaneously as a vmap
+        axis (see training/tuner.py) — one compiled step advances the whole
+        grid. ~K-fold faster than the sequential tuner when the model fits
+        K times in HBM; no per-combo checkpoint resume."""
+        from .tuner import VmappedGridTuner
+
+        cfg = self.cfg
+        import jax.numpy as jnp  # local: dtype switch
+
+        tuner = VmappedGridTuner(
+            self.model,
+            gradient_clip_val=cfg.gradient_clip_val,
+            compute_dtype=(
+                jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+            ),
+        )
+        result = tuner.tune(
+            hyper_params,
+            train_batches=lambda e: batch_iterator(
+                self.train_dataset, cfg.batch_size, seed=cfg.seed, epoch=e
+            ),
+            val_batches=lambda: batch_iterator(
+                self.val_dataset, cfg.batch_size, shuffle=False
+            ),
+            epochs=cfg.tuning_epochs,
+            seed=cfg.seed,
+        )
+        best = result["best_params"]
+        self.metrics.best_params = best
+        self.metrics.save(self.checkpoint_dir)
+        # adopt the winning combo's trained params as the starting point
+        k = result["best_index"]
+        best_params = jax.tree.map(lambda x: x[k], result["state"].params)
+        self._build(
+            best["encoder_lr"], best["decoder_lr"], best["complexity_penalty"]
+        )
+        fresh = self.init_state()
+        self.state = fresh._replace(params=best_params)
+        self.save_checkpoint("best_tuning")
+        return best
+
     def tune_hyperparameters(self, hyper_params: dict) -> dict | None:
         """Grid search with per-combo resume (trainer.py:186-244)."""
         cfg = self.cfg
