@@ -42,6 +42,7 @@ class AudioAutoencoder(nn.Module):
     max_active_vertices: int = 20
     hard: bool = False
     n_sccn_layers: int = 6
+    use_jumping_knowledge: bool = False
 
     @classmethod
     def create(
@@ -55,6 +56,7 @@ class AudioAutoencoder(nn.Module):
         n_sccn_layers: int = 6,
         pqmf_attenuation: float = 100.0,
         max_rank: int = 3,
+        use_jumping_knowledge: bool = False,
     ) -> "AudioAutoencoder":
         """Build tables + filterbank host-side once (audio2complex.py:18-38).
 
@@ -70,6 +72,7 @@ class AudioAutoencoder(nn.Module):
             max_active_vertices=max_active_vertices,
             hard=hard,
             n_sccn_layers=n_sccn_layers,
+            use_jumping_knowledge=use_jumping_knowledge,
         )
 
     def setup(self):
@@ -86,6 +89,7 @@ class AudioAutoencoder(nn.Module):
             initial_sequence_length=250,
             output_channels=self.num_bands,
             n_sccn_layers=self.n_sccn_layers,
+            use_jumping_knowledge=self.use_jumping_knowledge,
         )
 
     def encode(self, x, temperature=1.0, rng=None, train: bool = True):

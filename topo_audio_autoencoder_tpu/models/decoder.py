@@ -25,7 +25,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..topology.builder import SimplicialOperators
-from .sccn import GradientSCCN
+from .sccn import GradientSCCN, JumpingKnowledgeSCCN
 
 
 def linear_resize(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
@@ -153,6 +153,10 @@ class AudioDecoder(nn.Module):
     initial_sequence_length: int = 250
     output_channels: int = 16
     n_sccn_layers: int = 6
+    # The reference defines a JumpingKnowledge SCCN variant (LSTM over the
+    # per-layer outputs, custom_sccn.py:164-204) but never uses it; here
+    # it's a selectable decoder backbone.
+    use_jumping_knowledge: bool = False
 
     @nn.compact
     def __call__(
@@ -173,7 +177,8 @@ class AudioDecoder(nn.Module):
             else desired_length // 16
         )
         c = self.sccn_hidden_dim
-        feats = GradientSCCN(
+        backbone = JumpingKnowledgeSCCN if self.use_jumping_knowledge else GradientSCCN
+        feats = backbone(
             channels=c, max_rank=3, n_layers=self.n_sccn_layers, name="sccn"
         )(list(embeddings), ops, train)
 
