@@ -1,0 +1,42 @@
+"""Utils tests: profiling timer, anomaly scoping, finiteness helpers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from topo_audio_autoencoder_tpu.utils import (
+    assert_finite_tree,
+    detect_anomalies,
+    finite_or_zero,
+    time_fn,
+)
+
+
+def test_time_fn():
+    f = jax.jit(lambda x: x @ x.T)
+    stats = time_fn(f, jnp.ones((64, 64)), warmup=1, iters=3)
+    assert set(stats) == {"p50", "mean", "min", "max"}
+    assert 0 < stats["min"] <= stats["p50"] <= stats["max"]
+
+
+def test_detect_anomalies_scoped():
+    before = jax.config.jax_debug_nans
+    with detect_anomalies():
+        assert jax.config.jax_debug_nans is True
+        with pytest.raises(FloatingPointError):
+            jnp.log(jnp.array(-1.0)) * 1.0
+    assert jax.config.jax_debug_nans == before
+
+
+def test_assert_finite_tree():
+    assert_finite_tree({"a": jnp.ones(3)}, "ok")
+    with pytest.raises(FloatingPointError, match="bad"):
+        assert_finite_tree({"x": jnp.array([1.0, np.nan])}, "bad")
+
+
+def test_finite_or_zero():
+    x = jnp.array([1.0, np.inf, np.nan, -2.0])
+    np.testing.assert_array_equal(
+        np.asarray(finite_or_zero(x)), [1.0, 0.0, 0.0, -2.0]
+    )
