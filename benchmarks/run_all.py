@@ -42,6 +42,31 @@ def _emit(name, value, unit, extra=None):
     print(json.dumps(rec), flush=True)
 
 
+def config0():
+    """Encoder+SCCN(+decoder) forward p50 latency, batch 1 — the second
+    BASELINE.json headline metric."""
+    import numpy as np
+
+    from topo_audio_autoencoder_tpu.models import AudioAutoencoder
+    from topo_audio_autoencoder_tpu.utils import time_fn
+
+    model = AudioAutoencoder.create(
+        num_vertices=20, num_bands=16, sccn_hidden_dim=64
+    )
+    x = jnp.zeros((1, 1, T))
+    params = model.jit_init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, 1.0, jax.random.PRNGKey(2), True,
+    )
+
+    @jax.jit
+    def fwd(params, x):
+        return model.apply(params, x, 1.0, None, False).waveform
+
+    stats = time_fn(fwd, params, x, warmup=3, iters=30)
+    _emit("0_fwd_p50_b1", stats["p50"] * 1e3, "ms", {"min_ms": round(stats["min"] * 1e3, 3)})
+
+
 def config1():
     """Encoder->HardConcrete->operators forward, batch=1."""
     from topo_audio_autoencoder_tpu.models import AudioAutoencoder
@@ -198,7 +223,8 @@ def config5():
 
 if __name__ == "__main__":
     all_cfgs = {
-        "1": config1, "2": config2, "3": config3, "4": config4, "5": config5,
+        "0": config0, "1": config1, "2": config2, "3": config3,
+        "4": config4, "5": config5,
     }
     wanted = [a for a in sys.argv[1:] if a in all_cfgs] or list(all_cfgs)
     for key in wanted:
