@@ -147,6 +147,11 @@ class Trainer:
                 donate=False,
             )
         self.eval_step = make_eval_step(self.model, weights)
+        # jitted deterministic forward for audio dumps (eager apply
+        # dispatches thousands of ops — minutes over a remote-TPU link)
+        self._dump_fwd = jax.jit(
+            lambda p, x: self.model.apply(p, x, 1.0, None, False)
+        )
 
     def init_state(self) -> TrainState:
         g = self.train_dataset.group_size
@@ -364,7 +369,7 @@ class Trainer:
             )[:, None, :]
         else:
             x = jnp.asarray(batch[:1, 0] if batch.ndim == 4 else batch[:1])
-        out = self.model.apply(self.state.params, x, 1.0, None, False)
+        out = self._dump_fwd(self.state.params, x)
         d = self.checkpoint_dir / f"samples/epoch_{epoch}_iter_{iteration}"
         d.mkdir(parents=True, exist_ok=True)
         save_wav(d / f"input_{iteration}.wav", np.asarray(x[0]), cfg.sample_rate)
