@@ -120,6 +120,49 @@ def test_sccn_inactive_simplices_do_not_influence_active(tables):
         )
 
 
+def test_sccn_layer_matches_naive_messages(tables):
+    """The hoisted shared-product layer must equal the naive per-message
+    form (dense adjacency / separate incidence products)."""
+    from topo_audio_autoencoder_tpu.models import GradientSCCNLayer
+    from topo_audio_autoencoder_tpu.topology import dense_adjacency
+
+    key = jax.random.PRNGKey(21)
+    rect, ops, masks = _random_complex(tables, key, batch=1, zero_frac=0.1)
+    c = 8
+    feats = [
+        jax.random.normal(jax.random.PRNGKey(30 + r), (1, s, c))
+        for r, s in enumerate(tables.sizes)
+    ]
+    layer = GradientSCCNLayer(channels=c, max_rank=3, is_final_layer=True)
+    params = layer.init(jax.random.PRNGKey(31), feats, ops, True)
+    out = layer.apply(params, feats, ops, True)
+
+    p = params["params"]
+    scales = {k: p[f"scale_{k}"] for k in ("same", "low_to_high", "high_to_low")}
+    for rank in range(4):
+        msgs = []
+        w_s = p[f"same_rank_{rank}"]["kernel"]
+        adj = dense_adjacency(ops, rank)
+        msgs.append(adj @ (feats[rank] @ w_s) * scales["same"] + feats[rank])
+        if rank < 3:
+            w_h = p[f"high_to_low_{rank}"]["kernel"]
+            inc = ops.incidence(rank + 1)
+            msgs.append(inc @ (feats[rank + 1] @ w_h) * scales["high_to_low"] + feats[rank])
+        if rank > 0:
+            w_l = p[f"low_to_high_{rank}"]["kernel"]
+            inc_t = jnp.swapaxes(ops.incidence(rank), -1, -2)
+            msgs.append(inc_t @ (feats[rank - 1] @ w_l) * scales["low_to_high"] + feats[rank])
+        stacked = jnp.stack(msgs)
+        ap = p[f"attention_{rank}"]
+        h = jax.nn.gelu(stacked @ ap["Dense_0"]["kernel"] + ap["Dense_0"]["bias"])
+        score = h @ ap["Dense_1"]["kernel"]
+        attn = jax.nn.softmax(score, axis=0)
+        expected = (stacked * attn).sum(axis=0)
+        np.testing.assert_allclose(
+            np.asarray(out[rank]), np.asarray(expected), rtol=2e-4, atol=2e-5
+        )
+
+
 def test_jumping_knowledge_sccn(tables):
     key = jax.random.PRNGKey(5)
     rect, ops, masks = _random_complex(tables, key, batch=2)

@@ -85,6 +85,26 @@ class GradientSCCNLayer(nn.Module):
         scale_l2h = self.param("scale_low_to_high", nn.initializers.ones, (1,))
         scale_h2l = self.param("scale_high_to_low", nn.initializers.ones, (1,))
 
+        # Hoisted shared incidence products. Every expensive product in
+        # this layer factors through one of
+        #     down_r = B_r^T @ X_{r-1}   [S_r, C]
+        #     up_r   = B_r   @ X_r       [S_{r-1}, C]
+        # because channel mixing commutes with the incidence contraction:
+        # B^T (X W) = (B^T X) W. The reference evaluates each message's
+        # neighborhood product separately (6 large products per layer on
+        # the triangle-tetra incidence); sharing cuts that to 4 — a
+        # measured step-level win at n=20 where inc3 [1140, 4845] dominates
+        # the model's FLOPs.
+        down: dict[int, jnp.ndarray] = {}
+        up: dict[int, jnp.ndarray] = {}
+        for r in range(1, self.max_rank + 1):
+            if features[r].shape[-2] == 0 or features[r - 1].shape[-2] == 0:
+                continue
+            inc = ops.incidence(r)  # [B?, S_{r-1}, S_r]
+            inc_t = jnp.swapaxes(inc, -1, -2)
+            down[r] = inc_t @ features[r - 1]  # [B, S_r, C]
+            up[r] = inc @ features[r]  # [B, S_{r-1}, C]
+
         out: list[jnp.ndarray] = []
         for rank in range(self.max_rank + 1):
             x = features[rank]  # [B, S_r, C]
@@ -96,30 +116,43 @@ class GradientSCCNLayer(nn.Module):
                 continue
             messages = []
 
-            # Same-rank message: A_r @ X_r @ W  (factored for ranks >= 1).
+            # Same-rank message: A_r @ (X_r W) (factored for ranks >= 1).
             w_same = nn.Dense(
                 self.channels, use_bias=False, name=f"same_rank_{rank}"
             )
-            msg = same_rank_matmul(ops, rank, w_same(x)) * scale_same
+            if rank == 0:
+                msg = ops.adj0 @ w_same(x)
+            else:
+                wx = w_same(x)
+                if rank < self.max_rank and (rank + 1) in down:
+                    # A_r = B_{r+1} B_{r+1}^T - D: reuse down_{r+1}.
+                    inc = ops.incidence(rank + 1)
+                    msg = inc @ w_same(down[rank + 1])
+                elif rank == self.max_rank and rank in up:
+                    # A_max = B_max^T B_max - D: reuse up_max.
+                    inc_t = jnp.swapaxes(ops.incidence(rank), -1, -2)
+                    msg = inc_t @ w_same(up[rank])
+                else:  # neighbor rank statically empty -> A_r == 0
+                    msg = jnp.zeros_like(wx)
+                msg = msg - ops.adj_diag[rank - 1][..., :, None] * wx
+            msg = msg * scale_same
             messages.append(msg + x if self.residual else msg)
 
-            # High-to-low: B_{r+1} @ X_{r+1} @ W. Skipped when the higher
-            # rank is statically absent (custom_sccn.py:90-93).
-            if rank < self.max_rank and features[rank + 1].shape[-2] > 0:
+            # High-to-low: B_{r+1} @ (X_{r+1} W) == up_{r+1} @ W. Skipped
+            # when the higher rank is statically absent (custom_sccn.py:90-93).
+            if rank < self.max_rank and (rank + 1) in up:
                 w_h2l = nn.Dense(
                     self.channels, use_bias=False, name=f"high_to_low_{rank}"
                 )
-                inc = ops.incidence(rank + 1)  # [B?, S_r, S_{r+1}]
-                msg = inc @ w_h2l(features[rank + 1]) * scale_h2l
+                msg = w_h2l(up[rank + 1]) * scale_h2l
                 messages.append(msg + x if self.residual else msg)
 
-            # Low-to-high: B_r^T @ X_{r-1} @ W.
-            if rank > 0:
+            # Low-to-high: B_r^T @ (X_{r-1} W) == down_r @ W.
+            if rank > 0 and rank in down:
                 w_l2h = nn.Dense(
                     self.channels, use_bias=False, name=f"low_to_high_{rank}"
                 )
-                inc_t = jnp.swapaxes(ops.incidence(rank), -1, -2)  # [S_r, S_{r-1}]
-                msg = inc_t @ w_l2h(features[rank - 1]) * scale_l2h
+                msg = w_l2h(down[rank]) * scale_l2h
                 messages.append(msg + x if self.residual else msg)
 
             stacked = jnp.stack(messages, axis=0)  # [M, B, S_r, C]
