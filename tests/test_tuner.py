@@ -52,6 +52,37 @@ def test_vmapped_tuner_selects_best(setup):
     assert bp["complexity_penalty"] in grid["complexity_penalty"]
 
 
+def test_trainer_vmapped_tuning(setup, tmp_path):
+    """Trainer integration: vmapped tuning selects a combo and adopts its
+    trained parameters."""
+    from topo_audio_autoencoder_tpu.training import Trainer, TrainerConfig
+
+    model, train, val = setup
+    trainer = Trainer(
+        model, train, val,
+        config=TrainerConfig(
+            checkpoint_dir=str(tmp_path), batch_size=2,
+            accumulate_grad_batches=1, tuning_epochs=1,
+            dump_audio=False, with_grad_norms=False,
+        ),
+    )
+    best = trainer.tune_hyperparameters_vmapped(
+        {"encoder_lr": [1e-3, 5e-4], "decoder_lr": [1e-4],
+         "complexity_penalty": [0.1]}
+    )
+    assert best is not None
+    assert trainer.metrics.best_params == best
+    assert trainer.state is not None
+    # adopted params are a single (unstacked) tree: same shapes as a
+    # fresh single-model init, not K-stacked
+    fresh = trainer.init_state()
+    for a, b in zip(
+        jax.tree.leaves(trainer.state.params), jax.tree.leaves(fresh.params)
+    ):
+        assert a.shape == b.shape
+    assert (tmp_path / "best_tuning").exists()
+
+
 def test_vmapped_combos_diverge(setup):
     """Different LRs must actually produce different parameters."""
     model, train, val = setup
