@@ -198,9 +198,17 @@ def spectral_distance_matrix_block(
     """Pairwise spectral distances between two stacks of waveforms.
 
     xs: [A, T], ys: [B, T] -> [A, B]. Computes each stack's multiscale STFT
-    once and broadcasts the pairwise comparison — the on-device replacement
-    for the reference's Python pair loop (precompute_distances.py:96-115),
-    which recomputed both STFTs for every pair.
+    once — the on-device replacement for the reference's Python pair loop
+    (precompute_distances.py:96-115), which recomputed both STFTs per pair.
+
+    Memory shape matters at tile sizes: a naive [A, B, F, K] broadcast is
+    ~2 GB per scale at 64x64 tiles of 4 s clips. Instead:
+    - the relative-L2 term expands to ||x||² + ||y||² - 2<x, y> — one
+      [A, FK] @ [FK, B] MXU matmul;
+    - the L1 log term cannot factor through a matmul, so it scans over
+      fixed-size chunks of the flattened (F*K) axis: each step broadcasts
+      only [A, B, chunk] (~130 MB at 64x64 tiles) and accumulates into the
+      [A, B] result.
     """
     xs = xs.astype(jnp.float32)
     ys = ys.astype(jnp.float32)
@@ -208,13 +216,34 @@ def spectral_distance_matrix_block(
     for s in scales:
         sx = stft_magnitude(xs, s)  # [A, F, K]
         sy = stft_magnitude(ys, s)  # [B, F, K]
-        sxe = sx[:, None]  # [A, 1, F, K]
-        sye = sy[None, :]  # [1, B, F, K]
-        lin = jnp.mean((sxe - sye) ** 2, axis=(-1, -2)) / (
-            jnp.mean(sx**2, axis=(-1, -2))[:, None] + 1e-7
+        n_elem = sx.shape[-1] * sx.shape[-2]
+        fx = sx.reshape(sx.shape[0], -1)  # [A, FK]
+        fy = sy.reshape(sy.shape[0], -1)  # [B, FK]
+        x2 = (fx * fx).sum(-1)  # [A]
+        y2 = (fy * fy).sum(-1)  # [B]
+        cross = fx @ fy.T  # [A, B] — the MXU does the pair work
+        sq = jnp.maximum(x2[:, None] + y2[None, :] - 2.0 * cross, 0.0)
+        lin = (sq / n_elem) / (x2[:, None] / n_elem + 1e-7)
+
+        lx = jnp.log(fx + 1e-7)  # [A, FK]
+        ly = jnp.log(fy + 1e-7)  # [B, FK]
+        chunk = 8192
+        pad = (-lx.shape[-1]) % chunk
+        # pad with a common value so padded positions contribute zero
+        lxp = jnp.pad(lx, ((0, 0), (0, pad)))
+        lyp = jnp.pad(ly, ((0, 0), (0, pad)))
+        n_chunks = lxp.shape[-1] // chunk
+        lxc = lxp.reshape(lx.shape[0], n_chunks, chunk).swapaxes(0, 1)
+        lyc = lyp.reshape(ly.shape[0], n_chunks, chunk).swapaxes(0, 1)
+
+        def body(acc, c):
+            cx, cy = c
+            return acc + jnp.abs(cx[:, None, :] - cy[None, :, :]).sum(-1), None
+
+        log_sum, _ = jax.lax.scan(
+            body,
+            jnp.zeros((lx.shape[0], ly.shape[0]), jnp.float32),
+            (lxc, lyc),
         )
-        log = jnp.mean(
-            jnp.abs(jnp.log(sxe + 1e-7) - jnp.log(sye + 1e-7)), axis=(-1, -2)
-        )
-        out = out + lin + log
+        out = out + lin + log_sum / n_elem
     return out
