@@ -43,6 +43,7 @@ class AudioAutoencoder(nn.Module):
     hard: bool = False
     n_sccn_layers: int = 6
     use_jumping_knowledge: bool = False
+    use_fused_sampler: bool = False
 
     @classmethod
     def create(
@@ -57,6 +58,7 @@ class AudioAutoencoder(nn.Module):
         pqmf_attenuation: float = 100.0,
         max_rank: int = 3,
         use_jumping_knowledge: bool = False,
+        use_fused_sampler: bool = False,
     ) -> "AudioAutoencoder":
         """Build tables + filterbank host-side once (audio2complex.py:18-38).
 
@@ -73,6 +75,7 @@ class AudioAutoencoder(nn.Module):
             hard=hard,
             n_sccn_layers=n_sccn_layers,
             use_jumping_knowledge=use_jumping_knowledge,
+            use_fused_sampler=use_fused_sampler,
         )
 
     def setup(self):
@@ -83,6 +86,7 @@ class AudioAutoencoder(nn.Module):
             hard=self.hard,
             min_active_vertices=self.min_active_vertices,
             max_active_vertices=self.max_active_vertices,
+            use_fused_sampler=self.use_fused_sampler,
         )
         self.decoder = AudioDecoder(
             sccn_hidden_dim=self.sccn_hidden_dim,

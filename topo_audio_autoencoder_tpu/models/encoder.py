@@ -95,6 +95,10 @@ class AudioEncoder(nn.Module):
     hard: bool = False
     min_active_vertices: int = 8
     max_active_vertices: int = 20
+    # On TPU, run the stochastic relaxation as one fused Pallas kernel
+    # (on-chip PRNG; differentiable via closed-form custom VJP). Falls
+    # back to the pure-JAX sampler on other backends.
+    use_fused_sampler: bool = False
 
     def setup(self):
         t = self.tables
@@ -196,7 +200,14 @@ class AudioEncoder(nn.Module):
         else:
             # Soft path: binary Gumbel relaxation of every logit
             # (encoder.py:326-327), then rectification.
-            probs_all = binary_gumbel(biased, rng, temperature, training=train)
+            if self.use_fused_sampler and train and rng is not None:
+                from ..ops.pallas_kernels import binary_gumbel_fused_diff
+
+                probs_all = binary_gumbel_fused_diff(
+                    biased, rng, temperature, True
+                )
+            else:
+                probs_all = binary_gumbel(biased, rng, temperature, training=train)
             rect = enforce_constraints(*self.tables.split(probs_all), self.tables)
             out_ranks = rect
 

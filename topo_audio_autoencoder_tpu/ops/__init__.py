@@ -17,7 +17,12 @@ from .samplers import (
     bernoulli_ste,
     temperature_schedule,
 )
-from .pallas_kernels import hard_concrete_fused, binary_gumbel_fused
+from .pallas_kernels import (
+    hard_concrete_fused,
+    binary_gumbel_fused,
+    hard_concrete_fused_diff,
+    binary_gumbel_fused_diff,
+)
 
 __all__ = [
     "PQMF",
@@ -36,4 +41,6 @@ __all__ = [
     "temperature_schedule",
     "hard_concrete_fused",
     "binary_gumbel_fused",
+    "hard_concrete_fused_diff",
+    "binary_gumbel_fused_diff",
 ]

@@ -150,3 +150,71 @@ def binary_gumbel_fused(
     seed = jax.random.randint(key, (), 0, np.iinfo(np.int32).max, dtype=jnp.int32)
     out = _binary_gumbel_pallas_call(flat, seed, jnp.asarray(temperature))
     return out.reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrappers: the kernels draw noise + apply the relaxation in
+# one pass, so they carry no VJP of their own. The gradients are closed-form
+# in the *output*:
+#   gumbel:        s = sigmoid((2l - 1 + eps)/T)   -> ds/dl = 2 s(1-s)/T
+#   hard concrete: z = clip(s (zeta-gamma)+gamma)  -> dz/da = 1{0<z<1} s(1-s)/T (zeta-gamma)
+# so one extra residual (s) is all the backward pass needs — the fused
+# samplers drop into the differentiated train step (the BASELINE north-star
+# "one fused stochastic-relaxation kernel" in the hot path).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def binary_gumbel_fused_diff(logits, key, temperature, training: bool = True):
+    return binary_gumbel_fused(logits, key, temperature, training)
+
+
+def _bg_fwd(logits, key, temperature, training):
+    s = binary_gumbel_fused(logits, key, temperature, training)
+    return s, (s, jnp.asarray(temperature))
+
+
+def _bg_bwd(training, res, ct):
+    s, temp = res
+    if not training:  # eval path is a hard threshold: zero gradient
+        return (jnp.zeros_like(ct), None, jnp.zeros_like(temp))
+    ds = 2.0 * s * (1.0 - s) / temp
+    # d/dT = -(2l-1+eps)/T^2 * s(1-s); recovering (2l-1+eps) from s is
+    # logit(s)*T, so dT = -logit(s)/T * s(1-s)
+    logit_s = jnp.log(s + 1e-12) - jnp.log1p(-s + 1e-12)
+    dtemp = (ct * (-logit_s / temp) * s * (1.0 - s)).sum()
+    return (ct * ds, None, dtemp.astype(temp.dtype))
+
+
+binary_gumbel_fused_diff.defvjp(_bg_fwd, _bg_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def hard_concrete_fused_diff(log_alpha, key, temperature, training: bool = True):
+    return hard_concrete_fused(log_alpha, key, temperature, training=training)
+
+
+def _hc_fwd(log_alpha, key, temperature, training):
+    p = samplers.HardConcreteParams()
+    z = hard_concrete_fused(log_alpha, key, temperature, training=training)
+    # recover the pre-clip sigmoid from z where unclipped; at the clip
+    # boundaries the gradient is zero anyway so any in-range value works
+    s = jnp.clip((z - p.gamma) / (p.zeta - p.gamma), 1e-6, 1.0 - 1e-6)
+    return z, (z, s, jnp.asarray(temperature))
+
+
+def _hc_bwd(training, res, ct):
+    z, s, temp = res
+    p = samplers.HardConcreteParams()
+    inside = ((z > 0.0) & (z < 1.0)).astype(ct.dtype)
+    scale = (p.zeta - p.gamma) / temp if training else (p.zeta - p.gamma)
+    dz = inside * s * (1.0 - s) * scale
+    logit_s = jnp.log(s) - jnp.log1p(-s)
+    dtemp = (
+        (ct * inside * (-logit_s / temp) * s * (1.0 - s) * (p.zeta - p.gamma)).sum()
+        if training
+        else jnp.zeros((), temp.dtype)
+    )
+    return (ct * dz, None, dtemp.astype(temp.dtype))
+
+
+hard_concrete_fused_diff.defvjp(_hc_fwd, _hc_bwd)
