@@ -204,6 +204,24 @@ def test_straight_through_gradient():
     np.testing.assert_allclose(np.asarray(g), np.asarray(expected), rtol=1e-6)
 
 
+def test_fused_diff_wrappers_match_autodiff():
+    """Closed-form custom VJPs of the fused samplers == autodiff of the
+    pure-JAX samplers (identical forward on the CPU fallback path)."""
+    from topo_audio_autoencoder_tpu.ops import (
+        binary_gumbel_fused_diff,
+        hard_concrete_fused_diff,
+    )
+
+    key = jax.random.PRNGKey(0)
+    x = jnp.linspace(-2.0, 2.0, 64)
+    g1 = jax.grad(lambda l: (binary_gumbel_fused_diff(l, key, 0.7, True) ** 2).sum())(x)
+    g2 = jax.grad(lambda l: (binary_gumbel(l, key, 0.7, True) ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
+    h1 = jax.grad(lambda l: (hard_concrete_fused_diff(l, key, 0.7, True) ** 2).sum())(x)
+    h2 = jax.grad(lambda l: (hard_concrete(l, key, 0.7, training=True) ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-6)
+
+
 def test_gumbel_gradients_finite():
     key = jax.random.PRNGKey(4)
 
