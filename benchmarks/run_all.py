@@ -151,13 +151,18 @@ def config4():
         make_optimizer,
     )
 
+    from topo_audio_autoencoder_tpu.data import ContrastiveConfig
+
     n, b = (128, 32) if QUICK else (512, 128)
     corpus = synth_corpus(n, T)
     t0 = time.perf_counter()
     dists = compute_distances(corpus, tile=64)
     precompute_s = time.perf_counter() - t0
 
-    ds = NSynthDataset(corpus, dists["neighbors"], train=True)
+    # at b=128 the full G=12 stack is a 1536-encode graph that overflows
+    # the compile helper; 4 negatives keep the contrastive term at b=128
+    cc = ContrastiveConfig(num_negative_samples=4 if b >= 128 else 10)
+    ds = NSynthDataset(corpus, dists["neighbors"], train=True, config=cc)
     model = AudioAutoencoder.create(
         num_vertices=20, num_bands=16, sccn_hidden_dim=64
     )
