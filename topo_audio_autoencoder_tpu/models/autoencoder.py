@@ -135,6 +135,15 @@ class AudioAutoencoder(nn.Module):
         """Total parameter count (audio2complex.py:61-62)."""
         return sum(int(p.size) for p in jax.tree.leaves(params))
 
+    def reset_params(self, sample_shape=(1, 1, 64000), seed: int = 511990):
+        """Fresh, seeded parameters — the reference's ``reset_weights``
+        (audio2complex.py:64-69, seeded 511990, used by the tuner
+        trainer.py:218). Functional: returns a new param tree."""
+        k = jax.random.PRNGKey(seed)
+        p, d, s = jax.random.split(k, 3)
+        x = jnp.zeros(sample_shape, jnp.float32)
+        return self.jit_init({"params": p, "dropout": d}, x, 1.0, s, True)
+
     def jit_init(self, rngs, x, temperature=1.0, rng=None, train=True):
         """Compiled parameter initialization. Eager ``init`` dispatches
         thousands of tiny ops — ~400s over a remote-TPU link vs ~30s
