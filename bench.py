@@ -36,9 +36,10 @@ def main() -> None:
         make_train_step,
     )
 
-    # batch 32 saturates the chip (batch 8 is dispatch-bound: 1.3k clips/s
-    # vs 4.4k at 32, measured on v5e)
-    batch_size = 32
+    # The step is latency-bound well past batch 32 (measured v5e:
+    # b=32 7.3 ms, b=64 5.1 ms, b=128 4.6 ms per step -> 28k clips/s);
+    # b=256 overflows the remote compile helper, so 128 is the ceiling.
+    batch_size = 128
     group = 3  # anchor + positive + 1 negative (InfoNCE active)
     t = 64000
 
