@@ -1,12 +1,18 @@
 """Utilities: profiling, debug instrumentation."""
 
-from .debug import assert_finite_tree, detect_anomalies, finite_or_zero
+from .debug import (
+    assert_finite_tree,
+    detect_anomalies,
+    finite_or_zero,
+    golden_precision,
+)
 from .profiling import time_fn, trace
 
 __all__ = [
     "assert_finite_tree",
     "detect_anomalies",
     "finite_or_zero",
+    "golden_precision",
     "time_fn",
     "trace",
 ]

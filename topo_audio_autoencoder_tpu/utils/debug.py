@@ -41,3 +41,20 @@ def assert_finite_tree(tree, name: str = "tree") -> None:
 def finite_or_zero(x: jnp.ndarray) -> jnp.ndarray:
     """Replace non-finite entries with zero (guarded reductions)."""
     return jnp.where(jnp.isfinite(x), x, 0.0)
+
+
+@contextlib.contextmanager
+def golden_precision():
+    """Pin full fp32 MXU precision for CPU-vs-TPU golden comparisons.
+
+    TPU fp32 matmuls/convs default to fast bf16-multiplication passes
+    (~1e-2 rel error) — fine for training, wrong for parity checks.
+    """
+    old = jax.config.jax_default_matmul_precision
+    jax.config.update("jax_default_matmul_precision", "highest")
+    try:
+        yield
+    finally:
+        jax.config.update(
+            "jax_default_matmul_precision", old if old is not None else "default"
+        )
