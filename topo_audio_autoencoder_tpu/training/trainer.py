@@ -81,6 +81,11 @@ class TrainerConfig:
     # matrices per step (the contrastive stacks are G-fold redundant corpus
     # rows; gathering on device cuts H2D traffic ~G*T/4-fold).
     device_corpus: bool = True
+    # Data-parallel training over all visible devices: params/opt-state
+    # replicated, batches sharded on the leading dim, gradient all-reduce
+    # inserted by XLA over ICI. batch_size must divide the device count.
+    data_parallel: bool = False
+    n_devices: int | None = None  # DP width; None = all devices
 
 
 class Trainer:
@@ -102,6 +107,17 @@ class Trainer:
         self.metrics = TrainingMetrics()
         self.writer = MetricWriter(self.checkpoint_dir)
         self.rng = jax.random.PRNGKey(config.seed)
+        if config.data_parallel:
+            from ..parallel import make_mesh
+
+            self.mesh = make_mesh(config.n_devices)
+            if config.batch_size % self.mesh.devices.size != 0:
+                raise ValueError(
+                    f"batch_size {config.batch_size} must divide the "
+                    f"{self.mesh.devices.size}-device mesh"
+                )
+        else:
+            self.mesh = None
         self._build(config.encoder_lr, config.decoder_lr, config.complexity_penalty)
         self.state: TrainState | None = None
 
@@ -154,11 +170,23 @@ class Trainer:
         )
 
     def init_state(self) -> TrainState:
-        g = self.train_dataset.group_size
         t = self.train_dataset.waveforms.shape[-1]
         shape = (1, 1, t)
         self.rng, init_rng = jax.random.split(self.rng)
-        return create_train_state(self.model, self.optimizer, init_rng, shape)
+        state = create_train_state(self.model, self.optimizer, init_rng, shape)
+        if self.mesh is not None:
+            from ..parallel import replicate
+
+            state = replicate(state, self.mesh)
+        return state
+
+    def _put_batch(self, batch):
+        """Device placement: shard the leading dim when data-parallel."""
+        if self.mesh is None:
+            return jnp.asarray(batch)
+        from ..parallel import shard_batch
+
+        return shard_batch(jnp.asarray(batch), self.mesh)
 
     # ------------------------------------------------------------ loops
 
@@ -176,7 +204,7 @@ class Trainer:
         for iteration, batch in enumerate(it):
             self.rng, step_rng = jax.random.split(self.rng)
             self.state, metrics = self.train_step(
-                self.state, jnp.asarray(batch), temp, step_rng
+                self.state, self._put_batch(batch), temp, step_rng
             )
             loss = float(metrics["total_loss"])
             total += loss
@@ -204,7 +232,7 @@ class Trainer:
         for batch in batch_iterator(
             self.val_dataset, cfg.batch_size, shuffle=False
         ):
-            loss, _ = self.eval_step(self.state.params, jnp.asarray(batch))
+            loss, _ = self.eval_step(self.state.params, self._put_batch(batch))
             total += float(loss)
             count += 1
         return total / max(count, 1)
