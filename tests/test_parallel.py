@@ -96,6 +96,37 @@ def test_dp_matches_single_device(dp_setup):
         )
 
 
+def test_dp_trainer_end_to_end(tmp_path):
+    """Trainer with data_parallel=True runs an epoch on the 8-device mesh
+    with replicated state."""
+    from topo_audio_autoencoder_tpu.data import (
+        NSynthDataset, compute_distances, synth_corpus,
+    )
+    from topo_audio_autoencoder_tpu.training import Trainer, TrainerConfig
+
+    corpus = synth_corpus(16, 1024, seed=1)
+    d = compute_distances(corpus, tile=16, scales=(256,))
+    train = NSynthDataset(corpus, d["neighbors"], train=True)
+    val = NSynthDataset(synth_corpus(8, 1024, seed=2), train=False)
+    model = AudioAutoencoder.create(
+        num_vertices=4, num_bands=4, sccn_hidden_dim=8, n_sccn_layers=1
+    )
+    t = Trainer(
+        model, train, val,
+        config=TrainerConfig(
+            checkpoint_dir=str(tmp_path), batch_size=8,
+            accumulate_grad_batches=1, max_epochs=1, dump_audio=False,
+            with_grad_norms=False, data_parallel=True,
+        ),
+    )
+    metrics = t.train()
+    assert len(metrics.train_losses) == 1
+    assert np.isfinite(metrics.train_losses[0])
+    leaf = jax.tree.leaves(t.state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+    assert len(leaf.sharding.device_set) == 8
+
+
 def test_graft_entry_dryrun():
     import sys
     from pathlib import Path

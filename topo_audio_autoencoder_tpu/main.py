@@ -116,6 +116,8 @@ def main(argv: list[str] | None = None) -> None:
             patience=t.patience,
             tuning_epochs=t.tuning_epochs,
             compute_dtype=t.compute_dtype,
+            data_parallel=t.n_devices is not None and t.n_devices > 1,
+            n_devices=t.n_devices,
         ),
     )
     grid = (
