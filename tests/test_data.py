@@ -110,6 +110,17 @@ def test_batch_iterator_shapes_and_seeding(corpus):
     np.testing.assert_array_equal(b1[0][:, 0], b2[0][:, 0])
 
 
+def test_prefetch_to_device(corpus):
+    from topo_audio_autoencoder_tpu.data import prefetch_to_device
+
+    ds = NSynthDataset(corpus, train=False)
+    batches = list(prefetch_to_device(batch_iterator(ds, 4, shuffle=False), 2))
+    direct = list(batch_iterator(ds, 4, shuffle=False))
+    assert len(batches) == len(direct)
+    for a, b in zip(batches, direct):
+        np.testing.assert_array_equal(np.asarray(a), b)
+
+
 def test_wav_roundtrip(tmp_path):
     x = np.sin(np.linspace(0, 100, 4000)).astype(np.float32) * 0.5
     save_wav(tmp_path / "t.wav", x, 16000)
