@@ -35,6 +35,25 @@ def test_assert_finite_tree():
         assert_finite_tree({"x": jnp.array([1.0, np.nan])}, "bad")
 
 
+def test_checked_catches_nan():
+    from topo_audio_autoencoder_tpu.utils import checked
+
+    def bad(x):
+        return jnp.log(x)  # nan for negative input
+
+    f = checked(jax.jit(bad))
+    np.testing.assert_allclose(np.asarray(f(jnp.array(1.0))), 0.0)
+    with pytest.raises(Exception, match="nan"):
+        f(jnp.array(-1.0))
+
+
+def test_golden_precision_scoped():
+    from topo_audio_autoencoder_tpu.utils import golden_precision
+
+    with golden_precision():
+        assert jax.config.jax_default_matmul_precision == "highest"
+
+
 def test_finite_or_zero():
     x = jnp.array([1.0, np.inf, np.nan, -2.0])
     np.testing.assert_array_equal(

@@ -3,6 +3,7 @@
 from .debug import (
     assert_finite_tree,
     detect_anomalies,
+    checked,
     finite_or_zero,
     golden_precision,
 )
@@ -11,6 +12,7 @@ from .profiling import time_fn, trace
 __all__ = [
     "assert_finite_tree",
     "detect_anomalies",
+    "checked",
     "finite_or_zero",
     "golden_precision",
     "time_fn",

@@ -43,6 +43,29 @@ def finite_or_zero(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(jnp.isfinite(x), x, 0.0)
 
 
+def checked(fn, *, errors=None):
+    """Wrap a jittable function with ``checkify`` runtime checks
+    (NaN + out-of-bounds index + div-by-zero) — SURVEY §5.2's replacement
+    for the reference's always-on autograd anomaly mode. Returns a
+    function that raises on the first triggered check.
+
+    Usage: ``checked(train_step)(state, batch, ...)`` — ~2x slowdown,
+    debug only.
+    """
+    from jax.experimental import checkify
+
+    if errors is None:
+        errors = checkify.float_checks | checkify.index_checks | checkify.div_checks
+    cfn = checkify.checkify(fn, errors=errors)
+
+    def wrapper(*args, **kwargs):
+        err, out = cfn(*args, **kwargs)
+        checkify.check_error(err)
+        return out
+
+    return wrapper
+
+
 @contextlib.contextmanager
 def golden_precision():
     """Pin full fp32 MXU precision for CPU-vs-TPU golden comparisons.
