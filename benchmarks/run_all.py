@@ -72,7 +72,8 @@ def config1():
     from topo_audio_autoencoder_tpu.models import AudioAutoencoder
 
     model = AudioAutoencoder.create(
-        num_vertices=20, num_bands=16, sccn_hidden_dim=64, hard=True
+        num_vertices=20, num_bands=16, sccn_hidden_dim=64,
+        hard=True, sampler="hard_concrete",
     )
     x = jnp.zeros((1, 1, T))
     params = model.jit_init(
@@ -123,7 +124,8 @@ def config3():
 
     b = 8 if QUICK else 32
     model = AudioAutoencoder.create(
-        num_vertices=20, num_bands=16, sccn_hidden_dim=64, hard=True
+        num_vertices=20, num_bands=16, sccn_hidden_dim=64,
+        hard=True, sampler="hard_concrete",
     )
     opt = make_optimizer(accumulate_grad_batches=1)
     state = create_train_state(model, opt, jax.random.PRNGKey(0), (1, 1, T))

@@ -248,7 +248,7 @@ def test_autoencoder_roundtrip_shapes(model, params):
     )
     assert out.waveform.shape == x.shape
     assert out.valid.shape == (2,)
-    assert set(out.aux) == {"binary_entropy", "diversity"}
+    assert set(out.aux) == {"binary_entropy", "diversity", "l0"}
     assert np.all(np.isfinite(np.asarray(out.waveform)))
 
 
@@ -327,3 +327,113 @@ def test_hard_path_model(tables):
     assert all(np.all(np.isfinite(np.asarray(l))) for l in enc_grads)
     total = sum(float(jnp.abs(l).sum()) for l in enc_grads)
     assert total > 0, "no gradient reached the encoder through the STE"
+
+
+# ---------------------------------------------------------- Hard Concrete
+
+
+@pytest.fixture(scope="module")
+def hc_model():
+    return AudioAutoencoder.create(
+        num_vertices=N, num_bands=4, sccn_hidden_dim=32, n_sccn_layers=2,
+        sampler="hard_concrete",
+    )
+
+
+@pytest.fixture(scope="module")
+def hc_params(hc_model):
+    x = jnp.zeros((1, 1, 4096))
+    return hc_model.init(
+        {"params": jax.random.PRNGKey(40), "dropout": jax.random.PRNGKey(41)},
+        x, 1.0, jax.random.PRNGKey(42), True,
+    )
+
+
+def test_hard_concrete_soft_path_is_valid_complex(hc_model, hc_params, tables):
+    """HC relaxation -> rectify must satisfy closure + geomean dominance."""
+    from topo_audio_autoencoder_tpu.topology import constraint_violations
+
+    x = jax.random.normal(jax.random.PRNGKey(43), (2, 1, 4096))
+    out = hc_model.apply(
+        hc_params, x, 1.0, jax.random.PRNGKey(44), True,
+        rngs={"dropout": jax.random.PRNGKey(45)},
+    )
+    probs = out.encoder_output.probs
+    # HC gates live in [0, 1] and hit the boundaries with positive prob
+    for p in probs.ranks:
+        v = np.asarray(p)
+        assert np.all(v >= 0.0) and np.all(v <= 1.0)
+    viol = constraint_violations(probs, tables)
+    assert all(v < 1e-5 for v in viol.values()), viol
+    # the L0 term is populated (not the Gumbel zero-stub) and finite
+    l0 = np.asarray(out.aux["l0"])
+    assert l0.shape == (2,) and np.all(np.isfinite(l0)) and np.all(l0 > 0)
+
+
+def test_hard_concrete_eval_deterministic(hc_model, hc_params):
+    x = jax.random.normal(jax.random.PRNGKey(46), (1, 1, 4096))
+    o1 = hc_model.apply(hc_params, x, 1.0, None, False)
+    o2 = hc_model.apply(hc_params, x, 1.0, None, False)
+    np.testing.assert_array_equal(np.asarray(o1.waveform), np.asarray(o2.waveform))
+
+
+def test_hard_concrete_gradients_flow(hc_model, hc_params):
+    """Backward through HC relaxation + rectifier reaches the encoder,
+    including through the expected-L0 sparsity term."""
+    x = jax.random.normal(jax.random.PRNGKey(47), (1, 1, 4096))
+
+    def loss_fn(p):
+        o = hc_model.apply(
+            p, x, 1.0, jax.random.PRNGKey(48), True,
+            rngs={"dropout": jax.random.PRNGKey(49)},
+        )
+        return jnp.mean((o.waveform - x) ** 2) + 0.01 * o.aux["l0"].mean()
+
+    g = jax.grad(loss_fn)(hc_params)
+    enc_grads = jax.tree.leaves(g["params"]["encoder"])
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in enc_grads)
+    assert sum(float(jnp.abs(l).sum()) for l in enc_grads) > 0
+
+
+def test_hard_concrete_hard_ste_path(tables):
+    """sampler=hard_concrete + hard=True: binary forward, STE backward."""
+    model = AudioAutoencoder.create(
+        num_vertices=N, num_bands=4, sccn_hidden_dim=32, n_sccn_layers=2,
+        sampler="hard_concrete", hard=True,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(50), (1, 1, 4096))
+    params = model.init(
+        {"params": jax.random.PRNGKey(51), "dropout": jax.random.PRNGKey(52)},
+        x, 1.0, jax.random.PRNGKey(53), True,
+    )
+    out = model.apply(
+        params, x, 1.0, jax.random.PRNGKey(54), True,
+        rngs={"dropout": jax.random.PRNGKey(55)},
+    )
+    for p in out.encoder_output.probs.ranks:
+        v = np.asarray(p)
+        assert np.all(np.isclose(v, 0.0, atol=1e-5) | np.isclose(v, 1.0, atol=1e-5))
+
+    def loss_fn(p):
+        o = model.apply(
+            p, x, 1.0, jax.random.PRNGKey(54), True,
+            rngs={"dropout": jax.random.PRNGKey(55)},
+        )
+        return jnp.mean((o.waveform - x) ** 2)
+
+    g = jax.grad(loss_fn)(params)
+    enc_grads = jax.tree.leaves(g["params"]["encoder"])
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in enc_grads)
+    assert sum(float(jnp.abs(l).sum()) for l in enc_grads) > 0
+
+
+def test_invalid_sampler_rejected(tables):
+    model = AudioAutoencoder.create(
+        num_vertices=N, num_bands=4, sccn_hidden_dim=32, n_sccn_layers=2,
+        sampler="nonsense",
+    )
+    with pytest.raises(ValueError, match="sampler"):
+        model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 1, 4096)), 1.0, jax.random.PRNGKey(2), True,
+        )

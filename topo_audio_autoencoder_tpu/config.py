@@ -35,6 +35,8 @@ class ModelConfig:
     min_active_vertices: int = 8
     max_active_vertices: int = 20
     hard: bool = False
+    sampler: str = "gumbel"  # or "hard_concrete"
+    dropout: float = 0.1
     n_sccn_layers: int = 6
     pqmf_attenuation: float = 100.0
 
@@ -57,6 +59,7 @@ class TrainConfig:
     temp_decay: float = 0.95
     initial_reg_factor: float = 1e-5
     complexity_penalty: float = 0.1
+    l0_penalty: float = 0.0  # Hard Concrete expected-L0 sparsity weight
     invalid_state_penalty: float = 100.0
     seed: int = 511990
     compute_dtype: str = "float32"

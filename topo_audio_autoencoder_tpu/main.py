@@ -88,6 +88,8 @@ def main(argv: list[str] | None = None) -> None:
         min_active_vertices=cfg.model.min_active_vertices,
         max_active_vertices=cfg.model.max_active_vertices,
         hard=cfg.model.hard,
+        sampler=cfg.model.sampler,
+        dropout=cfg.model.dropout,
         n_sccn_layers=cfg.model.n_sccn_layers,
         pqmf_attenuation=cfg.model.pqmf_attenuation,
     )
@@ -105,6 +107,7 @@ def main(argv: list[str] | None = None) -> None:
             batch_size=t.batch_size,
             initial_reg_factor=t.initial_reg_factor,
             complexity_penalty=t.complexity_penalty,
+            l0_penalty=t.l0_penalty,
             invalid_state_penalty=t.invalid_state_penalty,
             seed=t.seed,
             initial_temp=t.initial_temp,

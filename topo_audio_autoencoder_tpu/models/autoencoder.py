@@ -41,6 +41,8 @@ class AudioAutoencoder(nn.Module):
     min_active_vertices: int = 8
     max_active_vertices: int = 20
     hard: bool = False
+    sampler: str = "gumbel"  # or "hard_concrete" (the documented mechanism)
+    dropout: float = 0.1
     n_sccn_layers: int = 6
     use_jumping_knowledge: bool = False
     use_fused_sampler: bool = False
@@ -54,6 +56,8 @@ class AudioAutoencoder(nn.Module):
         min_active_vertices: int = 8,
         max_active_vertices: int = 20,
         hard: bool = False,
+        sampler: str = "gumbel",
+        dropout: float = 0.1,
         n_sccn_layers: int = 6,
         pqmf_attenuation: float = 100.0,
         max_rank: int = 3,
@@ -73,6 +77,8 @@ class AudioAutoencoder(nn.Module):
             min_active_vertices=min_active_vertices,
             max_active_vertices=max_active_vertices,
             hard=hard,
+            sampler=sampler,
+            dropout=dropout,
             n_sccn_layers=n_sccn_layers,
             use_jumping_knowledge=use_jumping_knowledge,
             use_fused_sampler=use_fused_sampler,
@@ -83,9 +89,9 @@ class AudioAutoencoder(nn.Module):
             tables=self.tables,
             num_bands=self.num_bands,
             embedding_dim=self.sccn_hidden_dim,
+            dropout=self.dropout,
             hard=self.hard,
-            min_active_vertices=self.min_active_vertices,
-            max_active_vertices=self.max_active_vertices,
+            sampler=self.sampler,
             use_fused_sampler=self.use_fused_sampler,
         )
         self.decoder = AudioDecoder(
@@ -126,6 +132,7 @@ class AudioAutoencoder(nn.Module):
                 self.min_active_vertices,
                 self.max_active_vertices,
             ),
+            "l0": enc.l0,
         }
         return AutoencoderOutput(
             waveform=wav, aux=aux, valid=enc.valid, encoder_output=enc

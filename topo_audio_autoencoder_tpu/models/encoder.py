@@ -31,7 +31,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.samplers import binary_gumbel, straight_through
+from ..ops.samplers import (
+    binary_gumbel,
+    hard_concrete,
+    hard_concrete_l0_penalty,
+    straight_through,
+)
 from ..topology.builder import SimplicialOperators, build_operators
 from ..topology.complexes import ComplexTables
 from ..topology.rectifier import RectifiedProbs, enforce_constraints
@@ -47,6 +52,8 @@ class EncoderOutput(NamedTuple):
     rectified: RectifiedProbs  # soft rectified probabilities
     masks: tuple  # per-rank {0,1} active masks [B, S_r]
     valid: jnp.ndarray  # [B] bool: at least one active vertex
+    l0: jnp.ndarray  # [B] expected number of open gates (Hard Concrete L0
+    # sparsity term, Louizos et al. 2018 eq. 12; zeros for the Gumbel sampler)
 
 
 def _conv(features, kernel, stride=1, groups=1, name=None):
@@ -93,14 +100,21 @@ class AudioEncoder(nn.Module):
     embedding_dim: int = 64
     dropout: float = 0.1
     hard: bool = False
-    min_active_vertices: int = 8
-    max_active_vertices: int = 20
+    # Stochastic relaxation. "gumbel" is the binary Gumbel the reference
+    # *code* ships (encoder.py:26-53); "hard_concrete" is the Hard Concrete
+    # gate (Louizos et al. 2018) its README/progress report document
+    # (README.md:15-18) — the BASELINE north-star's named mechanism.
+    sampler: str = "gumbel"
     # On TPU, run the stochastic relaxation as one fused Pallas kernel
     # (on-chip PRNG; differentiable via closed-form custom VJP). Falls
     # back to the pure-JAX sampler on other backends.
     use_fused_sampler: bool = False
 
     def setup(self):
+        if self.sampler not in ("gumbel", "hard_concrete"):
+            raise ValueError(
+                f"sampler must be 'gumbel' or 'hard_concrete', got {self.sampler!r}"
+            )
         t = self.tables
         self.sizes = t.sizes
         self.total_simplices = t.total_simplices
@@ -176,18 +190,55 @@ class AudioEncoder(nn.Module):
         (encoder.py:324-388 with SURVEY §2.4.1-2 fixes), fully static."""
         v = self.sizes[0]
         biased = logits.at[..., :v].add(nn.relu(self.vertex_bias))
+        if rng is not None:
+            sample_rng, hard_rng = jax.random.split(rng)
+        else:
+            sample_rng = hard_rng = None
 
-        if self.hard:
-            # Hard path (encoder.py:330-357): deterministic relaxation, then
-            # Bernoulli, re-rectification and straight-through to the logits.
+        # 1. Stochastic relaxation of every logit. "hard_concrete" treats the
+        # biased logits as log-alpha (Louizos et al. 2018 §4): stretched
+        # noisy sigmoid clipped to [0, 1], exactly 0/1 with positive
+        # probability. "gumbel" is the reference code's binary Gumbel
+        # (encoder.py:326-327); the reference *hard* path relaxes
+        # deterministically (sigmoid(l/T), encoder.py:330) before the
+        # Bernoulli draw, so gumbel+hard uses no sampling noise here.
+        if self.sampler == "hard_concrete":
+            if self.use_fused_sampler and train and sample_rng is not None:
+                from ..ops.pallas_kernels import hard_concrete_fused_diff
+
+                probs_all = hard_concrete_fused_diff(
+                    biased, sample_rng, temperature, True
+                )
+            else:
+                probs_all = hard_concrete(
+                    biased, sample_rng, temperature, training=train
+                )
+        elif self.hard:
             probs_all = jax.nn.sigmoid(biased / temperature)
-            rect = enforce_constraints(*self.tables.split(probs_all), self.tables)
-            if rng is None:
+        elif self.use_fused_sampler and train and sample_rng is not None:
+            from ..ops.pallas_kernels import binary_gumbel_fused_diff
+
+            probs_all = binary_gumbel_fused_diff(
+                biased, sample_rng, temperature, True
+            )
+        else:
+            probs_all = binary_gumbel(
+                biased, sample_rng, temperature, training=train
+            )
+
+        # 2. Rectify to a valid soft complex.
+        rect = enforce_constraints(*self.tables.split(probs_all), self.tables)
+
+        # 3. Hard path (encoder.py:330-357): Bernoulli (or threshold) the
+        # rectified probabilities, re-rectify the binary draw, and straight-
+        # through the exact 0/1 values to the biased logits.
+        if self.hard:
+            if hard_rng is None:
                 hard_ranks = tuple(
                     (p > 0.5).astype(p.dtype) for p in rect.ranks
                 )
             else:
-                keys = jax.random.split(rng, 4)
+                keys = jax.random.split(hard_rng, 4)
                 hard_ranks = tuple(
                     jax.random.bernoulli(k, p).astype(p.dtype)
                     for k, p in zip(keys, rect.ranks)
@@ -198,17 +249,6 @@ class AudioEncoder(nn.Module):
                 *(straight_through(h, l) for h, l in zip(rect2.ranks, logit_ranks))
             )
         else:
-            # Soft path: binary Gumbel relaxation of every logit
-            # (encoder.py:326-327), then rectification.
-            if self.use_fused_sampler and train and rng is not None:
-                from ..ops.pallas_kernels import binary_gumbel_fused_diff
-
-                probs_all = binary_gumbel_fused_diff(
-                    biased, rng, temperature, True
-                )
-            else:
-                probs_all = binary_gumbel(biased, rng, temperature, training=train)
-            rect = enforce_constraints(*self.tables.split(probs_all), self.tables)
             out_ranks = rect
 
         masks = tuple((p > 0).astype(logits.dtype) for p in out_ranks.ranks)
@@ -222,6 +262,16 @@ class AudioEncoder(nn.Module):
         # Operators from the *soft* rectified probs in both paths
         # (encoder.py:384 passes ``rectified``); masks from the output probs.
         ops = build_operators(rect, self.tables, masks=masks)
+
+        # Expected-L0 sparsity term: mean gate-open probability per sample.
+        # Only the Hard Concrete gate has a closed form; the Gumbel path
+        # reports zero (the reference has no analog — its sparsity pressure
+        # comes entirely from the diversity/entropy penalties).
+        if self.sampler == "hard_concrete":
+            l0 = hard_concrete_l0_penalty(biased, temperature).mean(axis=-1)
+        else:
+            l0 = jnp.zeros(logits.shape[:-1], logits.dtype)
+
         return EncoderOutput(
             logits=logits,
             embeddings=embeddings,
@@ -230,6 +280,7 @@ class AudioEncoder(nn.Module):
             rectified=rect,
             masks=masks,
             valid=valid,
+            l0=l0,
         )
 
     def __call__(

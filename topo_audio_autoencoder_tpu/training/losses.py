@@ -26,6 +26,9 @@ class LossWeights(NamedTuple):
     complexity_penalty: float = 0.1
     contrastive_weight: float = 1.0
     invalid_state_penalty: float = 100.0
+    # Hard Concrete expected-L0 sparsity weight (Louizos et al. 2018 eq. 12);
+    # inert (the aux term is zero) under the Gumbel sampler.
+    l0_penalty: float = 0.0
 
 
 def autoencoder_loss(
@@ -46,6 +49,8 @@ def autoencoder_loss(
         + weights.binary_entropy_penalty * aux["binary_entropy"]
         + weights.complexity_penalty * aux["diversity"]
     )
+    if weights.l0_penalty and "l0" in aux:
+        per_sample = per_sample + weights.l0_penalty * aux["l0"]
     # Invalid samples (no active vertices) contribute the fixed penalty
     # instead of their (meaningless) reconstruction loss.
     per_sample = jnp.where(valid, per_sample, weights.invalid_state_penalty)
@@ -58,6 +63,8 @@ def autoencoder_loss(
         "diversity_loss": aux["diversity"].mean(),
         "invalid_fraction": 1.0 - validf.mean(),
     }
+    if "l0" in aux:
+        components["l0_loss"] = aux["l0"].mean()
     if contrastive is not None:
         total = total + weights.contrastive_weight * contrastive
         components["contrastive_loss"] = contrastive

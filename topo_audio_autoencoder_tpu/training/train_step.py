@@ -175,6 +175,7 @@ def make_train_step(
                 model.min_active_vertices,
                 model.max_active_vertices,
             ),
+            "l0": enc.l0,
         }
         total, components = autoencoder_loss(
             recon.astype(jnp.float32),

@@ -60,6 +60,7 @@ class TrainerConfig:
     batch_size: int = 4
     initial_reg_factor: float = 1e-5  # binary_entropy_penalty
     complexity_penalty: float = 0.1
+    l0_penalty: float = 0.0  # Hard Concrete expected-L0 sparsity weight
     invalid_state_penalty: float = 100.0
     seed: int = 511990
     initial_temp: float = 5.0
@@ -141,6 +142,7 @@ class Trainer:
             binary_entropy_penalty=cfg.initial_reg_factor,
             complexity_penalty=complexity_penalty,
             invalid_state_penalty=cfg.invalid_state_penalty,
+            l0_penalty=cfg.l0_penalty,
         )
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         if cfg.device_corpus:
