@@ -24,8 +24,10 @@ TPU-first differences (numerics preserved):
   arrays; inactive simplices carry zero operator rows/columns (see
   ``topology.builder``) so they send no messages. No missing-rank
   bookkeeping — a fully masked rank is simply all-zero.
-- The rank-3 adjacency [4845, 4845] is never materialized: same-rank
-  products go through ``same_rank_matmul``'s factored Gram form.
+- NO operator matrix is ever materialized: every neighborhood product goes
+  through the factored ``SimplicialOperators`` form (static membership
+  matrix × per-sample probability vector) — static-LHS MXU matmuls with no
+  per-sample [S, S'] tensors in HBM (see ``topology.builder``).
 - The four ranks' message/attention weight matrices are applied as plain
   ``[C, C]`` matmuls — XLA batches them onto the MXU.
 """
@@ -37,7 +39,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..topology.builder import SimplicialOperators, same_rank_matmul
+from ..topology.builder import SimplicialOperators
 
 MAX_RANK = 3
 
@@ -93,17 +95,17 @@ class GradientSCCNLayer(nn.Module):
         # B^T (X W) = (B^T X) W. The reference evaluates each message's
         # neighborhood product separately (6 large products per layer on
         # the triangle-tetra incidence); sharing cuts that to 4 — a
-        # measured step-level win at n=20 where inc3 [1140, 4845] dominates
-        # the model's FLOPs.
+        # measured step-level win at n=20 where the [1140, 4845] tri-tetra
+        # contraction dominates the model's FLOPs. Products use the
+        # factored (static-membership × prob-vector) form — no per-sample
+        # incidence matrices exist anywhere.
         down: dict[int, jnp.ndarray] = {}
         up: dict[int, jnp.ndarray] = {}
         for r in range(1, self.max_rank + 1):
             if features[r].shape[-2] == 0 or features[r - 1].shape[-2] == 0:
                 continue
-            inc = ops.incidence(r)  # [B?, S_{r-1}, S_r]
-            inc_t = jnp.swapaxes(inc, -1, -2)
-            down[r] = inc_t @ features[r - 1]  # [B, S_r, C]
-            up[r] = inc @ features[r]  # [B, S_{r-1}, C]
+            down[r] = ops.down(r, features[r - 1])  # [B, S_r, C]
+            up[r] = ops.up(r, features[r])  # [B, S_{r-1}, C]
 
         out: list[jnp.ndarray] = []
         for rank in range(self.max_rank + 1):
@@ -121,20 +123,21 @@ class GradientSCCNLayer(nn.Module):
                 self.channels, use_bias=False, name=f"same_rank_{rank}"
             )
             if rank == 0:
-                msg = ops.adj0 @ w_same(x)
+                msg = ops.adj0_matmul(w_same(x))
             else:
                 wx = w_same(x)
                 if rank < self.max_rank and (rank + 1) in down:
                     # A_r = B_{r+1} B_{r+1}^T - D: reuse down_{r+1}.
-                    inc = ops.incidence(rank + 1)
-                    msg = inc @ w_same(down[rank + 1])
+                    msg = ops.up(rank + 1, w_same(down[rank + 1]))
+                    diag = ops.gram_diag(rank, via_upper=True)
                 elif rank == self.max_rank and rank in up:
-                    # A_max = B_max^T B_max - D: reuse up_max.
-                    inc_t = jnp.swapaxes(ops.incidence(rank), -1, -2)
-                    msg = inc_t @ w_same(up[rank])
+                    # A_top = B_top^T B_top - D: reuse up_top.
+                    msg = ops.down(rank, w_same(up[rank]))
+                    diag = ops.gram_diag(rank, via_upper=False)
                 else:  # neighbor rank statically empty -> A_r == 0
                     msg = jnp.zeros_like(wx)
-                msg = msg - ops.adj_diag[rank - 1][..., :, None] * wx
+                    diag = jnp.zeros_like(ops.probs[rank])
+                msg = msg - diag[..., :, None] * wx
             msg = msg * scale_same
             messages.append(msg + x if self.residual else msg)
 

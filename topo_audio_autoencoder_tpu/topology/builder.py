@@ -1,7 +1,8 @@
 """Assembly of simplicial message-passing operators from rectified probs.
 
 TPU-native equivalent of the reference ``build_sparse_matrices``
-(reference: complex_builder.py:23-115), re-designed **masked-static**:
+(reference: complex_builder.py:23-115), re-designed **masked-static and
+factored**:
 
 The reference builds sparse COO matrices and slices rows/columns down to the
 dynamically-discovered active simplices (``nonzero()``), which is hostile to
@@ -14,21 +15,35 @@ so the rows/columns the reference deletes are identically zero here and
 contribute nothing to any matmul. Downstream consumers that are not linear in
 the features (LayerNorm, attention softmax) receive explicit active masks.
 
-Second redesign: the rank-3 adjacency [4845, 4845] is never materialized.
-The reference computes
+Second redesign (round 2): **no per-sample operator matrix is ever
+materialized.** Every operator the reference builds factors through a
+*static* 0/1 membership matrix and the per-sample probability vector:
 
-    edge_adjacency     = inc2 @ inc2.T  * (1 - I)   (complex_builder.py:62,68)
-    triangle_adjacency = inc3 @ inc3.T  * (1 - I)   (complex_builder.py:63,69)
-    tetra_adjacency    = inc3.T @ inc3  * (1 - I)   (complex_builder.py:64,70)
+    inc_r          = M_r^T * p_r              (complex_builder.py:52-54)
+    inc_r  @ X     = M_r^T @ (p_r ⊙ X)        ("up"   product)
+    inc_r^T @ X    = p_r ⊙ (M_r @ X)          ("down" product)
+    A_0    @ X     = M_1^T @ (p_1 ⊙ (M_1 @ X)) - deg ⊙ X     (adj0)
+    A_r    @ X     = M_{r+1}^T @ (p_{r+1}² ⊙ (M_{r+1} @ X)) - d ⊙ X
+                     (same-rank via shared cofaces, complex_builder.py:62-63)
+    A_top  @ X     = p ⊙ (M @ (M^T @ (p ⊙ X))) - d ⊙ X
+                     (top rank via shared faces, complex_builder.py:64)
 
-Each is a Gram matrix minus its diagonal, so the same-rank message
-``A @ X`` factors through the thin incidence matrix:
+where M_r is the [S_r, S_{r-1}] face membership of rank r and p_r the
+rectified probabilities. Why this shape of code on TPU:
 
-    A @ X = inc @ (inc.T @ X) - d[:, None] * X,   d = diag of the Gram.
+- HBM: the reference's per-sample incidences cost O(B·T·Tt) floats
+  (n=20, b=128: ~2.8 GB for inc3 alone); the factored form carries only the
+  [B, S_r] probability vectors — the membership matrices are shared
+  compile-time constants.
+- MXU: every contraction is ``static_matrix @ batched_tensor``, which XLA
+  lowers to ONE [S_out, S_in] × [S_in, B·C] matmul instead of B independent
+  small ones — far better systolic-array tiling.
+- Scaling: n is no longer bounded by per-sample operator storage (n=32's
+  t2tt is ~700 MB — fine once, fatal per sample).
 
-For rank 3 that replaces a [4845,4845]x[4845,C] product (plus 23M-entry
-materialization per sample) with two [1140,4845]-shaped matmuls — less HBM,
-fewer FLOPs, same numbers. ``same_rank_matmul`` below implements this.
+``adj0`` / ``inc1..3`` / ``adj_diag`` / ``dense_adjacency`` remain available
+as on-demand materializers for tests, inspection, and parity checks against
+the reference's explicit construction.
 """
 
 from __future__ import annotations
@@ -42,114 +57,163 @@ from .rectifier import RectifiedProbs
 
 
 class SimplicialOperators(NamedTuple):
-    """Fixed-shape operator set for the SCCN.
+    """Factored, fixed-shape operator set for the SCCN.
 
-    Shapes (leading batch dims allowed, shown unbatched for n-vertex complex
-    with sizes V/E/T/Tt):
+    Fields (leading batch dims allowed on probs/masks):
 
-    - ``adj0``: [V, V]   vertex adjacency, entries = rectified edge probs
-      scattered symmetrically (complex_builder.py:35-40).
-    - ``inc1``: [V, E]   vertex-edge incidence    = v2e.T  * edge_probs
-    - ``inc2``: [E, T]   edge-triangle incidence  = e2t.T  * triangle_probs
-    - ``inc3``: [T, Tt]  triangle-tetra incidence = t2tt.T * tetra_probs
-      (complex_builder.py:52-54).
-    - ``adj_diag``: tuple of Gram diagonals (d1 [E], d2 [T], d3 [Tt]) used by
-      the factored same-rank products (self-loop removal,
-      complex_builder.py:67-70).
-    - ``masks``: per-rank active masks [V],[E],[T],[Tt] in {0,1} — the
-      static-shape stand-in for the reference's ``active_indices``.
+    - ``probs``: per-rank rectified probabilities ([..., V], [..., E],
+      [..., T], [..., Tt]) — the only per-sample state.
+    - ``masks``: per-rank {0,1} active masks — the static-shape stand-in for
+      the reference's ``active_indices`` (encoder.py:230-233).
+    - ``memberships``: static 0/1 face-membership matrices
+      (v2e [E, V], e2t [T, E], t2tt [Tt, T]) shared by every sample.
+
+    The products below never materialize an operator matrix; the properties
+    (``adj0``, ``inc1``…) materialize on demand for tests/inspection only.
     """
 
-    adj0: jnp.ndarray
-    inc1: jnp.ndarray
-    inc2: jnp.ndarray
-    inc3: jnp.ndarray
-    adj_diag: tuple
+    probs: tuple
     masks: tuple
+    memberships: tuple
+
+    # ------------------------------------------------------------ products
+
+    def up(self, rank: int, x: jnp.ndarray) -> jnp.ndarray:
+        """``inc_rank @ x``: rank -> rank-1 message carrier.
+
+        x: [..., S_rank, C] -> [..., S_{rank-1}, C].
+        """
+        m = self.memberships[rank - 1]  # [S_r, S_{r-1}]
+        p = self.probs[rank]
+        return jnp.swapaxes(m, 0, 1) @ (p[..., None] * x)
+
+    def down(self, rank: int, x: jnp.ndarray) -> jnp.ndarray:
+        """``inc_rank^T @ x``: rank-1 -> rank message carrier.
+
+        x: [..., S_{rank-1}, C] -> [..., S_rank, C].
+        """
+        m = self.memberships[rank - 1]
+        p = self.probs[rank]
+        return p[..., None] * (m @ x)
+
+    def adj0_matmul(self, x: jnp.ndarray) -> jnp.ndarray:
+        """``A_0 @ x`` — vertex adjacency weighted by edge probs with the
+        degree diagonal removed (complex_builder.py:35-40): each edge {u,v}
+        contributes p_e to A[u,v] and A[v,u], never to the diagonal."""
+        m = self.memberships[0]  # v2e [E, V]
+        p = self.probs[1]
+        y = jnp.swapaxes(m, 0, 1) @ (p[..., None] * (m @ x))
+        deg = p @ m  # [..., V] weighted vertex degree
+        return y - deg[..., None] * x
+
+    def gram_diag(self, rank: int, via_upper: bool) -> jnp.ndarray:
+        """Diagonal of the rank-``rank`` incidence Gram (the self-loop mass
+        removed by complex_builder.py:67-70)."""
+        if via_upper:
+            p = self.probs[rank + 1]
+            return (p * p) @ self.memberships[rank]  # [..., S_rank]
+        # Lower (shared-face) Gram: a rank-r simplex has r+1 faces.
+        p = self.probs[rank]
+        return (p * p) * float(rank + 1)
+
+    # --------------------------------------------------- materializers
+
+    @property
+    def adj0(self) -> jnp.ndarray:
+        m = self.memberships[0]
+        p = self.probs[1]
+        weighted = p[..., :, None] * m  # [..., E, V]
+        gram0 = jnp.einsum("...ev,...eu->...vu", weighted, m)
+        eye = jnp.eye(m.shape[-1], dtype=m.dtype)
+        return gram0 * (1.0 - eye)
 
     def incidence(self, rank: int) -> jnp.ndarray:
-        return (self.inc1, self.inc2, self.inc3)[rank - 1]
+        """Materialized ``inc_rank = M_rank^T * p_rank`` (tests only)."""
+        m = self.memberships[rank - 1]
+        p = self.probs[rank]
+        return jnp.swapaxes(m * p[..., :, None], -1, -2)
+
+    @property
+    def inc1(self) -> jnp.ndarray:
+        return self.incidence(1)
+
+    @property
+    def inc2(self) -> jnp.ndarray:
+        return self.incidence(2)
+
+    @property
+    def inc3(self) -> jnp.ndarray:
+        return self.incidence(3)
+
+    @property
+    def adj_diag(self) -> tuple:
+        """Reference-convention Gram diagonals (d1 [E], d2 [T], d3 [Tt]):
+        ranks 1-2 via shared cofaces, the top rank via shared faces."""
+        return (
+            self.gram_diag(1, via_upper=True),
+            self.gram_diag(2, via_upper=True),
+            self.gram_diag(3, via_upper=False),
+        )
 
 
 def build_operators(
     probs: RectifiedProbs, tables: ComplexTables, masks: tuple | None = None
 ) -> SimplicialOperators:
-    """Build the masked-dense operator set. Batched over leading dims.
+    """Build the factored operator set. Batched over leading dims.
 
     ``masks`` defaults to ``prob > 0`` per rank, matching the reference's
     ``nonzero()``-derived active sets (encoder.py:230-233).
     """
     dt = probs.edges.dtype
-    v2e = jnp.asarray(tables.v2e, dtype=dt)  # [E, V]
-    e2t = jnp.asarray(tables.e2t, dtype=dt)  # [T, E]
-    t2tt = jnp.asarray(tables.t2tt, dtype=dt)  # [Tt, T]
-
-    pe = probs.edges  # [..., E]
-    pt = probs.triangles  # [..., T]
-    ptt = probs.tetra  # [..., Tt]
-
-    # Vertex adjacency: symmetric scatter of edge probs onto vertex pairs.
-    # Static form: adj0[u, v] = sum_e v2e[e,u] * v2e[e,v] * p_e  for u != v
-    # (each edge contributes to exactly its two endpoints). Implemented as a
-    # weighted Gram of v2e with the diagonal (vertex degree mass) removed.
-    weighted_v2e = pe[..., :, None] * v2e  # [..., E, V]
-    gram0 = jnp.einsum("...ev,...eu->...vu", weighted_v2e, v2e)
-    eye_v = jnp.eye(tables.num_vertices, dtype=dt)
-    adj0 = gram0 * (1.0 - eye_v)
-
-    inc1 = jnp.swapaxes(v2e * pe[..., :, None], -1, -2)  # [..., V, E]
-    inc2 = jnp.swapaxes(e2t * pt[..., :, None], -1, -2)  # [..., E, T]
-    inc3 = jnp.swapaxes(t2tt * ptt[..., :, None], -1, -2)  # [..., T, Tt]
-
-    # Gram diagonals for self-loop removal in factored same-rank products:
-    # d1[e]  = sum_t  e2t[t,e]  * p_t^2    (edge_adjacency diag)
-    # d2[t]  = sum_tt t2tt[tt,t] * p_tt^2  (triangle_adjacency diag)
-    # d3[tt] = p_tt^2 * 4                  (tetra_adjacency diag: 4 faces)
-    d1 = (pt * pt) @ e2t  # [..., E]
-    d2 = (ptt * ptt) @ t2tt  # [..., T]
-    d3 = (ptt * ptt) * 4.0  # [..., Tt]
-
+    memberships = tuple(
+        jnp.asarray(m, dtype=dt) for m in (tables.v2e, tables.e2t, tables.t2tt)
+    )
     if masks is None:
         masks = tuple((p > 0).astype(dt) for p in probs.ranks)
-
     return SimplicialOperators(
-        adj0=adj0,
-        inc1=inc1,
-        inc2=inc2,
-        inc3=inc3,
-        adj_diag=(d1, d2, d3),
-        masks=masks,
+        probs=tuple(probs.ranks), masks=masks, memberships=memberships
     )
 
 
 def same_rank_matmul(ops: SimplicialOperators, rank: int, x: jnp.ndarray) -> jnp.ndarray:
-    """Compute ``A_rank @ x`` without materializing A for ranks >= 1.
+    """Compute ``A_rank @ x`` without materializing A.
 
     x: [..., S_rank, C]. Equals the reference's dense
     ``adjacencies[rank] @ x`` with self-loops removed
     (complex_builder.py:62-70) — verified against the explicit construction
-    in tests/test_builder.py.
+    in tests/test_topology.py. Ranks 1..top-1 connect via shared cofaces
+    (complex_builder.py:62-63), the top rank via shared faces
+    (complex_builder.py:64); statically-empty coface ranks make A == 0.
     """
     if rank == 0:
-        return ops.adj0 @ x
-    if rank == 1:
-        inc = ops.inc2  # [..., E, T]
-        d = ops.adj_diag[0]
-    elif rank == 2:
-        inc = ops.inc3  # [..., E=T, T=Tt]
-        d = ops.adj_diag[1]
-    elif rank == 3:
-        # tetra adjacency = inc3.T @ inc3 - diag
-        inc = jnp.swapaxes(ops.inc3, -1, -2)  # [..., Tt, T]
-        d = ops.adj_diag[2]
-    else:
+        return ops.adj0_matmul(x)
+    if not 1 <= rank <= 3:
         raise ValueError(f"rank must be in 0..3, got {rank}")
-    gram_x = inc @ (jnp.swapaxes(inc, -1, -2) @ x)
-    return gram_x - d[..., :, None] * x
+    top = max(r for r in range(4) if ops.probs[r].shape[-1] > 0)
+    if rank < top:
+        # A_r = inc_{r+1} @ inc_{r+1}^T - D
+        p = ops.probs[rank + 1]
+        m = ops.memberships[rank]  # [S_{r+1}, S_r]
+        gram_x = jnp.swapaxes(m, 0, 1) @ ((p * p)[..., None] * (m @ x))
+        return gram_x - ops.gram_diag(rank, via_upper=True)[..., None] * x
+    if rank == top:
+        # A_top = inc_top^T @ inc_top - D
+        p = ops.probs[rank]
+        m = ops.memberships[rank - 1]  # [S_r, S_{r-1}]
+        px = p[..., None] * x
+        gram_x = p[..., None] * (m @ (jnp.swapaxes(m, 0, 1) @ px))
+        return gram_x - ops.gram_diag(rank, via_upper=False)[..., None] * x
+    # statically-empty rank
+    return jnp.zeros_like(x)
 
 
 def dense_adjacency(ops: SimplicialOperators, rank: int) -> jnp.ndarray:
-    """Materialize the dense adjacency for a rank (tests / inspection only)."""
+    """Materialize the dense adjacency for a rank (tests / inspection only).
+
+    Uses the reference's fixed conventions (rank 1-2 via upper incidence,
+    rank 3 via lower, complex_builder.py:62-64) regardless of truncation,
+    matching the reference's explicit construction.
+    """
     if rank == 0:
         return ops.adj0
     if rank == 1:
