@@ -102,6 +102,34 @@ def test_rectifier_properties(rng, n):
         assert val <= 1e-5, f"{k} violated: {val}"
 
 
+@pytest.mark.parametrize("n", [5, 8])
+def test_rectifier_gather_matches_matmul(rng, n):
+    """The static-face-gather contraction must equal the membership matmul
+    bit-for-bit in values and match gradients (both batched)."""
+    t = build_tables(n)
+    B = 3
+    flat = np.stack(
+        [np.concatenate(_random_probs(rng, t, 0.25)) for _ in range(B)]
+    ).astype(np.float32)
+    x = jnp.array(flat)
+
+    def run(method):
+        def f(p):
+            r = enforce_constraints(*t.split(p), t, method=method)
+            return r.all_simplices
+
+        val = f(x)
+        grad = jax.grad(lambda p: (f(p) ** 2).sum())(x)
+        return np.asarray(val), np.asarray(grad)
+
+    v_m, g_m = run("matmul")
+    v_g, g_g = run("gather")
+    np.testing.assert_allclose(v_g, v_m, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(g_g, g_m, rtol=1e-5, atol=1e-6)
+    # exact zeros must propagate identically (closure property)
+    np.testing.assert_array_equal(v_g == 0.0, v_m == 0.0)
+
+
 def test_rectifier_golden_brute_force(rng):
     """Compare against a direct per-simplex geometric-mean computation."""
     n = 6

@@ -78,6 +78,35 @@ def _rectify_rank(
     return jnp.minimum(raw, geo)
 
 
+def _rectify_rank_gather(
+    raw: jnp.ndarray,
+    face_probs: jnp.ndarray,
+    face_idx: np.ndarray,
+    eps: float,
+) -> jnp.ndarray:
+    """Same rectification as ``_rectify_rank`` via a static face gather.
+
+    The membership matmul touches k nonzeros per row out of F (rank 3:
+    4/1140 = 0.35% density, i.e. ~99.65% wasted MACs); the gather form
+    reads exactly the k face values per simplex using the static index
+    tables (``tables.edges`` / ``tri_edges`` / ``tet_tris``). Identical
+    numerics — the winner on TPU is decided by measurement (bench A/B).
+    """
+    log_faces = jnp.log(face_probs + eps)
+    gathered = log_faces[..., face_idx]  # [..., S, k], static idx
+    geo = jnp.exp(gathered.mean(axis=-1))
+    zero = (face_probs == 0.0)[..., face_idx].any(axis=-1)
+    geo = jnp.where(zero, 0.0, geo)
+    return jnp.minimum(raw, geo)
+
+
+# Contraction method for the rectifier's face-geomean products. "gather"
+# reads the k static face indices per simplex; "matmul" contracts against
+# the dense membership matrix (99.65% zeros at rank 3). Identical numerics;
+# the default is decided by TPU measurement (see benchmarks/RESULTS.md).
+DEFAULT_METHOD = "matmul"
+
+
 def enforce_constraints(
     vertex_probs: jnp.ndarray,
     edge_probs: jnp.ndarray,
@@ -85,12 +114,15 @@ def enforce_constraints(
     tetra_probs: jnp.ndarray,
     tables: ComplexTables,
     eps: float = 1e-10,
+    method: str | None = None,
 ) -> RectifiedProbs:
     """Rectify probabilities bottom-up so they form a valid (soft) complex.
 
     Accepts arbitrary leading batch dims; all shapes are static. Vertices
     pass through unrectified, matching reference rectifier.py:122.
+    ``method``: "matmul" | "gather" (see DEFAULT_METHOD).
     """
+    method = method or DEFAULT_METHOD
     in_dtype = vertex_probs.dtype
     f32 = jnp.float32
     v = vertex_probs.astype(f32)
@@ -98,13 +130,19 @@ def enforce_constraints(
     t = triangle_probs.astype(f32)
     tt = tetra_probs.astype(f32)
 
-    v2e_t = jnp.asarray(tables.v2e.T, dtype=f32)  # [V, E]
-    e2t_t = jnp.asarray(tables.e2t.T, dtype=f32)  # [E, T]
-    t2tt_t = jnp.asarray(tables.t2tt.T, dtype=f32)  # [T, Tt]
-
-    re = _rectify_rank(e, v, v2e_t, 2.0, eps)
-    rt = _rectify_rank(t, re, e2t_t, 3.0, eps)
-    rtt = _rectify_rank(tt, rt, t2tt_t, 4.0, eps)
+    if method == "gather":
+        re = _rectify_rank_gather(e, v, tables.edges, eps)
+        rt = _rectify_rank_gather(t, re, tables.tri_edges, eps)
+        rtt = _rectify_rank_gather(tt, rt, tables.tet_tris, eps)
+    elif method == "matmul":
+        v2e_t = jnp.asarray(tables.v2e.T, dtype=f32)  # [V, E]
+        e2t_t = jnp.asarray(tables.e2t.T, dtype=f32)  # [E, T]
+        t2tt_t = jnp.asarray(tables.t2tt.T, dtype=f32)  # [T, Tt]
+        re = _rectify_rank(e, v, v2e_t, 2.0, eps)
+        rt = _rectify_rank(t, re, e2t_t, 3.0, eps)
+        rtt = _rectify_rank(tt, rt, t2tt_t, 4.0, eps)
+    else:
+        raise ValueError(f"method must be 'matmul' or 'gather', got {method!r}")
 
     return RectifiedProbs(
         vertices=v.astype(in_dtype),
