@@ -1,15 +1,25 @@
 """Benchmark harness: train-step throughput on the flagship config.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Metric: NSynth-shaped clips/sec/chip through the full jitted train step
-(full 20-vertex complex hierarchy, 4 s @ 16 kHz clips, contrastive G=12
-stacks — the BASELINE.json headline). vs_baseline is measured against the
-reference's CPU PyTorch throughput target recorded in BASELINE.md
-(reference publishes no numbers; the driver's north star is >= 50x the
-reference CPU throughput, which we approximate with the measured reference
-step rate REF_CLIPS_PER_SEC below).
+Headline metric: NSynth-shaped clips/sec/chip through the full jitted train
+step — full 20-vertex complex hierarchy, 4 s @ 16 kHz clips, contrastive
+G=3 stacks (anchor + positive + 1 negative; the smallest G with an active
+InfoNCE term). The dataset's default training stack is G=12
+(data/dataset.py ContrastiveConfig), so the same step is ALSO measured at
+G=12 and reported in the extra fields — the encoder runs on B*G waveforms,
+so G=12 clips/s is materially lower; both numbers are real, they answer
+different questions (per-clip step cost vs full-curriculum step cost).
+
+Extras ground the number in hardware terms (VERDICT r1 item 3):
+- flops_per_step: XLA-compiled FLOPs from cost_analysis() (fwd+bwd+opt)
+- tflops_per_sec and mfu vs the chip's bf16 peak (device_kind lookup)
+
+vs_baseline is measured against the reference's CPU PyTorch throughput:
+the reference publishes no numbers (BASELINE.md), so the baseline is the
+measured torch-CPU proxy of the same compute graph
+(benchmarks/reference_proxy_torch.py): 1.82 clips/s fwd+bwd.
 """
 
 from __future__ import annotations
@@ -21,11 +31,50 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Reference implicit baseline: single-CPU PyTorch, batch 1. The reference
-# publishes no numbers (SURVEY §6) and can't run here (missing deps), so
-# this is MEASURED from benchmarks/reference_proxy_torch.py — a torch-CPU
-# reconstruction of the same compute graph: 1.82 clips/s fwd+bwd.
 REF_CLIPS_PER_SEC = 1.818
+
+# bf16 peak FLOP/s per chip by device kind (public TPU specs).
+PEAK_BF16 = {
+    "TPU v2": 45e12,
+    "TPU v3": 123e12,
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
+
+
+def _peak_flops() -> float | None:
+    kind = jax.devices()[0].device_kind
+    for name, peak in PEAK_BF16.items():
+        if kind.lower().startswith(name.lower()):
+            return peak
+    return None
+
+
+def _compiled_flops(fn, *args) -> float | None:
+    """XLA's own FLOP count for the compiled step (cost_analysis)."""
+    try:
+        ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def _measure(train_step, state, batch, temp, iters=10):
+    for i in range(2):
+        state, _ = train_step(state, batch, temp, jax.random.PRNGKey(i))
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, _ = train_step(state, batch, temp, jax.random.PRNGKey(100 + i))
+    jax.block_until_ready(state)
+    return (time.perf_counter() - t0) / iters
 
 
 def main() -> None:
@@ -40,7 +89,6 @@ def main() -> None:
     # b=32 7.3 ms, b=64 5.1 ms, b=128 4.6 ms per step -> 28k clips/s);
     # b=256 overflows the remote compile helper, so 128 is the ceiling.
     batch_size = 128
-    group = 3  # anchor + positive + 1 negative (InfoNCE active)
     t = 64000
 
     model = AudioAutoencoder.create(
@@ -57,36 +105,54 @@ def main() -> None:
         compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
         donate=False,
     )
-
-    batch = jnp.asarray(
-        np.random.default_rng(0).standard_normal(
-            (batch_size, group, 1, t), dtype=np.float32
-        )
-    )
     temp = jnp.asarray(1.0)
+    rng = np.random.default_rng(0)
 
-    # warmup / compile
-    for i in range(2):
-        state, metrics = train_step(state, batch, temp, jax.random.PRNGKey(i))
-    jax.block_until_ready(state)
+    # --- headline: G=3 (minimal active InfoNCE) ---
+    batch3 = jnp.asarray(
+        rng.standard_normal((batch_size, 3, 1, t), dtype=np.float32)
+    )
+    dt3 = _measure(train_step, state, batch3, temp)
+    clips3 = batch_size / dt3
 
-    iters = 10
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, metrics = train_step(
-            state, batch, temp, jax.random.PRNGKey(100 + i)
-        )
-    jax.block_until_ready(state)
-    dt = time.perf_counter() - t0
+    flops = _compiled_flops(
+        lambda s, b, tp, r: train_step(s, b, tp, r),
+        state, batch3, temp, jax.random.PRNGKey(0),
+    )
+    peak = _peak_flops() if on_tpu else None
+    tflops = (flops / dt3 / 1e12) if flops else None
+    mfu = (flops / dt3 / peak) if (flops and peak) else None
 
-    clips_per_sec = batch_size * iters / dt
+    # --- full-curriculum stack: G=12 at the dataset's default, b=32
+    # (b=128*G12 = 1536 encodes/step overflows the remote compile helper) ---
+    b12 = 32
+    batch12 = jnp.asarray(
+        rng.standard_normal((b12, 12, 1, t), dtype=np.float32)
+    )
+    dt12 = _measure(train_step, state, batch12, temp, iters=5)
+    clips12 = b12 / dt12
+
+    extras = {
+        "step_ms_b128_g3": round(dt3 * 1e3, 3),
+        "g12_clips_per_sec_b32": round(clips12, 1),
+        "g12_step_ms": round(dt12 * 1e3, 3),
+    }
+    if flops:
+        extras["flops_per_step"] = float(f"{flops:.4g}")
+    if tflops:
+        extras["tflops_per_sec"] = round(tflops, 2)
+    if mfu:
+        extras["mfu"] = round(mfu, 4)
+        extras["device_kind"] = jax.devices()[0].device_kind
+
     print(
         json.dumps(
             {
                 "metric": "train_clips_per_sec_per_chip",
-                "value": round(clips_per_sec, 3),
+                "value": round(clips3, 3),
                 "unit": "clips/s",
-                "vs_baseline": round(clips_per_sec / REF_CLIPS_PER_SEC, 2),
+                "vs_baseline": round(clips3 / REF_CLIPS_PER_SEC, 2),
+                **extras,
             }
         )
     )

@@ -1,0 +1,171 @@
+"""Quality evidence at the reference's full training recipe (VERDICT r1 #8).
+
+Runs the reference schedule (main.py:261-265, trainer.py:120-161) end to end
+on a >=512-clip corpus with the dataset-default G=12 contrastive stacks:
+
+  1. on-device O(N^2) distance precompute
+  2. 8-combo grid tune (encoder_lr x decoder_lr x complexity_penalty,
+     5 epochs each, vmapped: the whole grid advances in one compiled step)
+  3. full run <= 100 epochs, early-stop patience 20
+  4. artifacts: loss curves (metrics.json), active-simplex statistics per
+     epoch, reconstruction wav samples at start/mid/end
+
+Outputs land in --out (default benchmarks/quality_run/); progress prints one
+JSON line per stage. Wall-clock on one v5e chip: minutes, dominated by the
+two compiles.
+
+Usage: python benchmarks/full_recipe.py [--quick] [--epochs N] [--corpus N]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _arg(name, default, cast=int):
+    if name in sys.argv:
+        return cast(sys.argv[sys.argv.index(name) + 1])
+    return default
+
+
+def main() -> None:
+    from topo_audio_autoencoder_tpu.data import (
+        ContrastiveConfig,
+        NSynthDataset,
+        compute_distances,
+        synth_corpus,
+    )
+    from topo_audio_autoencoder_tpu.data.preprocess import save_wav
+    from topo_audio_autoencoder_tpu.models import AudioAutoencoder
+    from topo_audio_autoencoder_tpu.training import Trainer, TrainerConfig
+
+    quick = "--quick" in sys.argv
+    n_train = _arg("--corpus", 128 if quick else 512)
+    max_epochs = _arg("--epochs", 8 if quick else 100)
+    t = 16000 if quick else 64000
+    batch = 8 if quick else 32
+    out = Path(_arg("--out", "benchmarks/quality_run", str))
+    out.mkdir(parents=True, exist_ok=True)
+
+    def emit(**kw):
+        print(json.dumps(kw), flush=True)
+
+    t0 = time.perf_counter()
+    corpus = synth_corpus(n_train + n_train // 4, n_samples=t, seed=0)
+    train_wavs, val_wavs = corpus[:n_train], corpus[n_train:]
+    dists = compute_distances(train_wavs, tile=64)
+    emit(stage="precompute", n=n_train, seconds=round(time.perf_counter() - t0, 2))
+
+    train_ds = NSynthDataset(
+        train_wavs, dists["neighbors"], train=True,
+        config=ContrastiveConfig(),  # G = 12: the dataset default
+    )
+    val_ds = NSynthDataset(val_wavs, train=False)
+    model = AudioAutoencoder.create(
+        num_vertices=20, num_bands=16, sccn_hidden_dim=64, n_sccn_layers=6
+    )
+    on_tpu = jax.default_backend() != "cpu"
+    trainer = Trainer(
+        model, train_ds, val_ds,
+        config=TrainerConfig(
+            checkpoint_dir=str(out / "checkpoints"),
+            batch_size=batch,
+            max_epochs=max_epochs,
+            patience=20,
+            tuning_epochs=2 if quick else 5,
+            compute_dtype="bfloat16" if on_tpu else "float32",
+            dump_audio=False,  # probe dumps below instead
+            checkpoint_every_iters=0,
+            log_every=10,
+        ),
+    )
+    trainer.state = trainer.init_state()
+
+    # fixed probe batch for per-epoch complex statistics + audio dumps
+    probe = jnp.asarray(train_wavs[:4])[:, None, :]
+
+    @jax.jit
+    def probe_fwd(params, x):
+        out_ = model.apply(params, x, 1.0, None, False)
+        return out_.waveform, tuple(m.sum(axis=-1) for m in out_.encoder_output.masks)
+
+    def complex_stats(epoch):
+        wav, counts = probe_fwd(trainer.state.params, probe)
+        counts = [np.asarray(c).mean() for c in counts]
+        rec = {
+            "epoch": epoch,
+            "active_vertices": round(float(counts[0]), 2),
+            "active_edges": round(float(counts[1]), 2),
+            "active_triangles": round(float(counts[2]), 2),
+            "active_tetra": round(float(counts[3]), 2),
+        }
+        with (out / "complex_stats.jsonl").open("a") as f:
+            f.write(json.dumps(rec) + "\n")
+        return wav, rec
+
+    # --- stage 2: vmapped 8-combo grid tune ---
+    t0 = time.perf_counter()
+    grid = {
+        "encoder_lr": [1e-3, 5e-4],
+        "decoder_lr": [1e-4, 5e-5],
+        "complexity_penalty": [0.05, 0.1],
+    }
+    best = trainer.tune_hyperparameters_vmapped(grid)
+    emit(stage="tune", best=best, seconds=round(time.perf_counter() - t0, 2))
+
+    # --- stage 3: full run with per-epoch probes ---
+    (out / "complex_stats.jsonl").write_text("")
+    wav0, stats0 = complex_stats(-1)
+    save_wav(out / "sample_input.wav", np.asarray(probe[0]), 16000)
+    save_wav(out / "sample_epoch_start.wav", np.asarray(wav0[0]), 16000)
+    emit(stage="probe_init", **{k: v for k, v in stats0.items() if k != "epoch"})
+
+    t0 = time.perf_counter()
+    cfg = trainer.cfg
+    best_val, patience = float("inf"), 0
+    for epoch in range(max_epochs):
+        train_loss = trainer.train_epoch(epoch)
+        trainer.train_dataset.set_epoch(epoch)
+        trainer.metrics.train_losses.append(train_loss)
+        val_loss = trainer.validate()
+        trainer.metrics.val_losses.append(val_loss)
+        trainer.metrics.save(out / "checkpoints")
+        wav, stats = complex_stats(epoch)
+        if epoch == max_epochs // 2:
+            save_wav(out / "sample_epoch_mid.wav", np.asarray(wav[0]), 16000)
+        if val_loss < best_val:
+            best_val = val_loss
+            trainer.metrics.best_val_loss = val_loss
+            trainer.metrics.best_epoch = epoch
+            trainer.save_checkpoint("best", epoch=epoch)
+            patience = 0
+        else:
+            patience += 1
+        emit(stage="epoch", epoch=epoch, train_loss=round(train_loss, 4),
+             val_loss=round(val_loss, 4), **{k: v for k, v in stats.items() if k != "epoch"})
+        if patience >= cfg.patience:
+            emit(stage="early_stop", epoch=epoch)
+            break
+    wav_end, _ = complex_stats(epoch + 1000)
+    save_wav(out / "sample_epoch_end.wav", np.asarray(wav_end[0]), 16000)
+    emit(
+        stage="done",
+        epochs_run=len(trainer.metrics.train_losses),
+        best_val_loss=round(trainer.metrics.best_val_loss, 4),
+        best_epoch=trainer.metrics.best_epoch,
+        train_seconds=round(time.perf_counter() - t0, 1),
+        clips_per_sec=round(
+            len(trainer.metrics.train_losses) * n_train / (time.perf_counter() - t0), 1
+        ),
+    )
+
+
+if __name__ == "__main__":
+    main()

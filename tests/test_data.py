@@ -110,6 +110,43 @@ def test_batch_iterator_shapes_and_seeding(corpus):
     np.testing.assert_array_equal(b1[0][:, 0], b2[0][:, 0])
 
 
+def test_sample_batch_indices_semantics(corpus):
+    """Vectorized index assembly: anchor col, positive from the top-k
+    neighbor set, negatives = the exact curriculum window, deterministic
+    under the seed."""
+    dists = compute_distances(corpus, tile=6, scales=SCALES)
+    cc = ContrastiveConfig(num_positive_neighbors=3, num_negative_samples=4)
+    ds = NSynthDataset(corpus, dists["neighbors"], train=True, config=cc)
+    ds.set_epoch(0)
+    anchors = np.array([0, 5, 9])
+    idx = ds.sample_batch_indices(anchors, seed=7)
+    assert idx.shape == (3, ds.group_size) and idx.dtype == np.int32
+    np.testing.assert_array_equal(idx[:, 0], anchors)
+    neg_end = ds.current_negative_offset
+    neg_start = neg_end - cc.num_negative_samples
+    for row, a in zip(idx, anchors):
+        assert row[1] in ds.neighbors[a, :cc.num_positive_neighbors]
+        np.testing.assert_array_equal(row[2:], ds.neighbors[a, neg_start:neg_end])
+    # seeded determinism
+    np.testing.assert_array_equal(idx, ds.sample_batch_indices(anchors, seed=7))
+    # eval mode: bare [B, 1] column
+    ds_eval = NSynthDataset(corpus, train=False)
+    np.testing.assert_array_equal(
+        ds_eval.sample_batch_indices(anchors, seed=7), anchors[:, None]
+    )
+
+
+def test_indexed_gather_matches_array_batch(corpus):
+    """corpus[idx] on device == host-assembled waveform stacks."""
+    dists = compute_distances(corpus, tile=6, scales=SCALES)
+    cc = ContrastiveConfig(num_negative_samples=3)
+    ds = NSynthDataset(corpus, dists["neighbors"], train=True, config=cc)
+    idx = ds.sample_batch_indices(np.array([1, 4]), seed=11)
+    gathered = np.asarray(jnp.asarray(corpus)[jnp.asarray(idx)])[:, :, None, :]
+    direct = corpus[idx][:, :, None, :]
+    np.testing.assert_array_equal(gathered, direct)
+
+
 def test_prefetch_to_device(corpus):
     from topo_audio_autoencoder_tpu.data import prefetch_to_device
 

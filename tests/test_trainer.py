@@ -76,6 +76,66 @@ def test_trainer_checkpoint_resume(tmp_path, model, datasets):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_trainer_kill_and_resume_identical(tmp_path, model, datasets):
+    """A run killed after 2 epochs and resumed must reproduce the
+    uninterrupted 4-epoch run exactly: same val-loss trajectory, same
+    final params (VERDICT r1 item 4; reference restore: trainer.py:434-453
+    plus curriculum + RNG the reference forgets)."""
+    import jax
+
+    from topo_audio_autoencoder_tpu.data import ContrastiveConfig
+
+    _, val = datasets
+    # dedicated train set with a min offset small enough that the negative
+    # curriculum actually decays across these 4 epochs — the resume must
+    # restore it, not reset it
+    corpus = synth_corpus(8, n_samples=T, seed=5)
+    dists = compute_distances(corpus, tile=8, scales=SCALES)
+    cc = ContrastiveConfig(num_negative_samples=3, min_negative_offset=2)
+    train = NSynthDataset(corpus, dists["neighbors"], train=True, config=cc)
+
+    # uninterrupted 4-epoch run
+    t_full = Trainer(model, train, val, config=_config(tmp_path / "full", max_epochs=4))
+    m_full = t_full.train()
+    assert train.current_negative_offset < train.neighbors.shape[1], (
+        "curriculum never decayed; test would not exercise the restore"
+    )
+
+    # killed-after-2 + resumed run (fresh Trainer object = fresh process)
+    train.set_epoch(0)  # reset shared dataset state between runs
+    t_a = Trainer(model, train, val, config=_config(tmp_path / "kill", max_epochs=2))
+    t_a.train()
+    train.set_epoch(0)
+    t_b = Trainer(model, train, val, config=_config(tmp_path / "kill", max_epochs=4))
+    m_b = t_b.train(resume=True)
+
+    assert len(m_b.val_losses) == 4
+    np.testing.assert_allclose(m_b.val_losses, m_full.val_losses, rtol=1e-6)
+    np.testing.assert_allclose(m_b.train_losses, m_full.train_losses, rtol=1e-6)
+    assert m_b.best_epoch == m_full.best_epoch
+    for a, b in zip(jax.tree.leaves(t_full.state.params), jax.tree.leaves(t_b.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
+def test_validate_scores_every_clip(tmp_path, model, datasets):
+    """Validation must not drop remainder clips: a val set of 5 at batch 2
+    scores all 5 (VERDICT r1 weak item 5)."""
+    from topo_audio_autoencoder_tpu.data import synth_corpus as _sc
+
+    train, _ = datasets
+    val5 = NSynthDataset(_sc(5, n_samples=T, seed=3), train=False)
+    trainer = Trainer(model, train, val5, config=_config(tmp_path))
+    trainer.state = trainer.init_state()
+    full = trainer.validate()
+
+    # per-clip reference: batch size 1 covers everything exactly
+    cfg1 = _config(tmp_path / "b1", batch_size=1)
+    t1 = Trainer(model, train, val5, config=cfg1)
+    t1.state = trainer.state
+    per_clip = t1.validate()
+    np.testing.assert_allclose(full, per_clip, rtol=1e-5)
+
+
 def test_trainer_tuner(tmp_path, model, datasets):
     train, val = datasets
     trainer = Trainer(model, train, val, config=_config(tmp_path))

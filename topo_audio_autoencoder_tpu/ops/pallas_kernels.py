@@ -48,11 +48,27 @@ def _bits_to_uniform(bits):
     return jnp.clip(u, 1e-6, 1.0 - 1e-6)
 
 
+def _pick_block_rows(b_pad: int, s_pad: int) -> int:
+    """Row-block size: big enough to amortize per-program overhead, small
+    enough that in+out blocks sit comfortably in VMEM (~2 MB each) and the
+    grid has multiple programs to pipeline."""
+    target = max(8, min(b_pad, (2 << 20) // (s_pad * 4) // 8 * 8))
+    while b_pad % target:
+        target -= 8
+    return max(target, 8)
+
+
 def _hard_concrete_kernel(seed_ref, logits_ref, temp_ref, out_ref, *, gamma, zeta):
-    """One fused pass: uniform -> logistic -> stretched sigmoid -> clip."""
+    """One fused pass: uniform -> logistic -> stretched sigmoid -> clip.
+
+    Runs on a row-block grid; each program seeds the on-chip PRNG with
+    seed + program_id so blocks draw decorrelated streams while the whole
+    call stays a deterministic function of the one seed.
+    """
+    from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    pltpu.prng_seed(seed_ref[0])
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     bits = pltpu.prng_random_bits(logits_ref.shape)
     u = _bits_to_uniform(bits)
     noise = jnp.log(u) - jnp.log1p(-u)
@@ -69,17 +85,19 @@ def _hard_concrete_pallas_call(logits, seed, temp, gamma, zeta):
     b, s = logits.shape
     s_pad = _round_up(s, 128)
     b_pad = _round_up(b, 8)
+    block_b = _pick_block_rows(b_pad, s_pad)
     x = jnp.zeros((b_pad, s_pad), jnp.float32).at[:b, :s].set(logits.astype(jnp.float32))
 
     out = pl.pallas_call(
         functools.partial(_hard_concrete_kernel, gamma=gamma, zeta=zeta),
+        grid=(b_pad // block_b,),
         out_shape=jax.ShapeDtypeStruct((b_pad, s_pad), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, s_pad), lambda i: (i, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((block_b, s_pad), lambda i: (i, 0)),
     )(seed.reshape(1), x, temp.reshape(1).astype(jnp.float32))
     return out[:b, :s].astype(logits.dtype)
 
@@ -107,9 +125,10 @@ def hard_concrete_fused(
 
 
 def _binary_gumbel_kernel(seed_ref, logits_ref, temp_ref, out_ref):
+    from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    pltpu.prng_seed(seed_ref[0])
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     bits = pltpu.prng_random_bits(logits_ref.shape)
     u = _bits_to_uniform(bits)
     noise = jnp.log(u) - jnp.log1p(-u)
@@ -125,16 +144,18 @@ def _binary_gumbel_pallas_call(logits, seed, temp):
     b, s = logits.shape
     s_pad = _round_up(s, 128)
     b_pad = _round_up(b, 8)
+    block_b = _pick_block_rows(b_pad, s_pad)
     x = jnp.zeros((b_pad, s_pad), jnp.float32).at[:b, :s].set(logits.astype(jnp.float32))
     out = pl.pallas_call(
         _binary_gumbel_kernel,
+        grid=(b_pad // block_b,),
         out_shape=jax.ShapeDtypeStruct((b_pad, s_pad), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, s_pad), lambda i: (i, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((block_b, s_pad), lambda i: (i, 0)),
     )(seed.reshape(1), x, temp.reshape(1).astype(jnp.float32))
     return out[:b, :s].astype(logits.dtype)
 

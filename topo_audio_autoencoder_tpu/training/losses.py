@@ -39,8 +39,14 @@ def autoencoder_loss(
     weights: LossWeights = LossWeights(),
     contrastive: jnp.ndarray | None = None,  # scalar, optional
     scales: tuple[int, ...] = DEFAULT_SCALES,
+    with_per_sample: bool = False,
 ):
-    """Total loss (scalar) + components dict of scalars."""
+    """Total loss (scalar) + components dict of scalars.
+
+    ``with_per_sample`` adds the [B] per-sample total under
+    components["per_sample"] (used by padded validation to mask out pad
+    rows; keep it off the train path — the metric writer expects scalars).
+    """
     spec = spectral_distance(
         recon[:, 0, :], target[:, 0, :], scales
     )  # [B]
@@ -69,4 +75,6 @@ def autoencoder_loss(
         total = total + weights.contrastive_weight * contrastive
         components["contrastive_loss"] = contrastive
     components["total_loss"] = total
+    if with_per_sample:
+        components["per_sample"] = per_sample
     return total, components

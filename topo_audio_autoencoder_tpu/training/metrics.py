@@ -22,6 +22,7 @@ class TrainingMetrics:
     best_val_loss: float = float("inf")
     best_epoch: int = -1
     best_params: dict | None = None
+    test_loss: float | None = None  # held-out set, scored once after training
 
     def save(self, directory: str | Path) -> None:
         path = Path(directory) / "metrics.json"

@@ -189,6 +189,11 @@ def make_train_step(
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, batch, temperature, rng):
+        # Derive the per-step key INSIDE the jit from (base key, step
+        # counter): the trainer passes one constant key per run instead of
+        # an eager host-side split every step (~100 ms/dispatch over a
+        # remote-TPU link), and resume determinism needs only (key, step).
+        rng = jax.random.fold_in(rng, state.step)
         (loss, components), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, temperature, rng
         )
@@ -219,7 +224,8 @@ def make_eval_step(
     def eval_step(params, batch):
         out = model.apply(params, batch, 1.0, None, False)
         total, components = autoencoder_loss(
-            out.waveform, batch, out.aux, out.valid, weights
+            out.waveform, batch, out.aux, out.valid, weights,
+            with_per_sample=True,
         )
         return total, components
 
@@ -242,12 +248,18 @@ def make_indexed_train_step(
     compute_dtype: jnp.dtype = jnp.float32,
     with_grad_norms: bool = False,
     donate: bool = True,
+    mesh=None,
 ):
     """Train step over a device-resident corpus: takes [B, G] int32 index
     matrices and gathers waveform rows in HBM instead of shipping
     B*G*T floats host->device every step (~1000x less PCIe/ICI traffic
     for NSynth shapes). Sampling semantics are identical to the array
     path — see ``NSynthDataset.sample_batch_indices``.
+
+    Under data parallelism pass the ``mesh``: the corpus is placed
+    replicated across it (each chip gathers its shard's rows locally — no
+    cross-chip traffic for batch assembly), index batches arrive sharded
+    on the leading dim, and XLA still inserts only the gradient all-reduce.
     """
     base = make_train_step(
         model, optimizer, weights, compute_dtype, with_grad_norms,
@@ -256,7 +268,14 @@ def make_indexed_train_step(
     # The corpus is a jit *argument*, not a closed-over constant: baking
     # tens of MB into the HLO bloats (de)serialization and the compile
     # cache; as an argument it stays resident on device across steps.
-    corpus_dev = jax.device_put(jnp.asarray(corpus, jnp.float32))
+    if mesh is not None:
+        from ..parallel import replicated
+
+        corpus_dev = jax.device_put(
+            jnp.asarray(corpus, jnp.float32), replicated(mesh)
+        )
+    else:
+        corpus_dev = jax.device_put(jnp.asarray(corpus, jnp.float32))
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def _step(state: TrainState, corpus, idxs, temperature, rng):

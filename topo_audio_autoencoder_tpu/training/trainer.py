@@ -32,7 +32,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.dataset import NSynthDataset, batch_iterator, index_iterator
+from ..data.dataset import (
+    NSynthDataset,
+    batch_iterator,
+    index_iterator,
+    prefetch_to_device,
+)
 from ..data.preprocess import save_wav
 from ..models.autoencoder import AudioAutoencoder
 from .checkpoint import CheckpointManager
@@ -154,6 +159,7 @@ class Trainer:
                 compute_dtype=dtype,
                 with_grad_norms=cfg.with_grad_norms,
                 donate=False,
+                mesh=self.mesh,
             )
         else:
             self.train_step = make_train_step(
@@ -193,29 +199,35 @@ class Trainer:
     # ------------------------------------------------------------ loops
 
     def train_epoch(self, epoch: int, sample_dir: Path | None = None) -> float:
+        """One epoch of the hot loop — fully asynchronous dispatch.
+
+        The device never waits on the host: batches are prefetched
+        (assembly + H2D overlap compute), the per-step PRNG key derives
+        from (run key, step counter) inside the jit, and per-step losses
+        are kept as device scalars and drained in ONE transfer at epoch
+        end. The only mid-epoch syncs are the log_every metric writes and
+        periodic checkpoints. (Replaces the reference's blocking
+        loss.item() + print loop, trainer.py:272-310.)
+        """
         cfg = self.cfg
         temp = anneal_temperature(
             epoch, cfg.initial_temp, cfg.min_temp, cfg.temp_decay
         )
-        total, count = 0.0, 0
         make_iter = index_iterator if cfg.device_corpus else batch_iterator
         it = make_iter(
             self.train_dataset, cfg.batch_size, shuffle=True,
             seed=cfg.seed, epoch=epoch,
         )
+        it = prefetch_to_device(it, size=2, put=self._put_batch)
+        loss_refs: list = []
         for iteration, batch in enumerate(it):
-            self.rng, step_rng = jax.random.split(self.rng)
             self.state, metrics = self.train_step(
-                self.state, self._put_batch(batch), temp, step_rng
+                self.state, batch, temp, self.rng
             )
-            loss = float(metrics["total_loss"])
-            total += loss
-            count += 1
-            self.metrics.iteration_losses.append(loss)
+            loss_refs.append(metrics["total_loss"])
             if iteration % cfg.log_every == 0:
                 self.writer.write(
-                    int(self.state.step),
-                    {k: v for k, v in metrics.items()},
+                    int(self.state.step), jax.device_get(metrics)
                 )
                 if cfg.dump_audio and sample_dir is None:
                     self._dump_audio(epoch, iteration, batch)
@@ -226,21 +238,53 @@ class Trainer:
                 self.save_checkpoint(
                     f"epoch_{epoch}_iter_{iteration}", sample_dir
                 )
-        return total / max(count, 1)
+        losses = [float(x) for x in jax.device_get(loss_refs)]
+        self.metrics.iteration_losses.extend(losses)
+        return sum(losses) / max(len(losses), 1)
 
-    def validate(self) -> float:
+    def validate(self, dataset: NSynthDataset | None = None) -> float:
+        """Mean per-clip loss over the ENTIRE evaluation set (default: val).
+
+        The final short batch is right-padded to the full batch size (one
+        compiled shape, DP-divisible) and the pad rows are masked out of
+        the average — no clip is silently dropped and ``best`` selection
+        never sees a truncated set (the reference iterates batch-1 so never
+        truncates, trainer.py:399-415).
+        """
         cfg = self.cfg
+        from ..parallel import pad_to_multiple
+
         total, count = 0.0, 0
         for batch in batch_iterator(
-            self.val_dataset, cfg.batch_size, shuffle=False
+            dataset or self.val_dataset, cfg.batch_size, shuffle=False,
+            drop_remainder=False,
         ):
-            loss, _ = self.eval_step(self.state.params, self._put_batch(batch))
-            total += float(loss)
-            count += 1
+            padded, real = pad_to_multiple(np.asarray(batch), cfg.batch_size)
+            _, comps = self.eval_step(
+                self.state.params, self._put_batch(padded)
+            )
+            per = np.asarray(jax.device_get(comps["per_sample"]))
+            total += float(per[:real].sum())
+            count += real
         return total / max(count, 1)
 
-    def train(self, hyper_params: dict | None = None) -> TrainingMetrics:
-        """Full run, optionally preceded by grid tuning (trainer.py:120-161)."""
+    def train(
+        self, hyper_params: dict | None = None, resume: bool = False
+    ) -> TrainingMetrics:
+        """Full run, optionally preceded by grid tuning (trainer.py:120-161).
+
+        ``resume=True`` picks up the ``latest`` checkpoint (params, opt
+        state, step, metrics, epoch, curriculum epoch, host PRNG key — the
+        reference restores model/optimizer/metrics, trainer.py:434-453) and
+        reproduces the uninterrupted run exactly: the per-step keys derive
+        from (run key, step counter), the shuffle/sampling streams from
+        (seed, epoch), so a kill-and-resume trajectory is bit-identical
+        (tests/test_trainer.py kill-and-resume test).
+        """
+        start_epoch = 0
+        if resume and CheckpointManager(self.checkpoint_dir).exists("latest"):
+            start_epoch = self.resume_from("latest") + 1
+            hyper_params = None  # any tuning is already folded into the run
         if self.state is None:
             self.state = self.init_state()
         if hyper_params:
@@ -248,9 +292,13 @@ class Trainer:
             self.load_best_parameters()
 
         cfg = self.cfg
-        patience_counter = 0
-        best_val = float("inf")
-        for epoch in range(cfg.max_epochs):
+        best_val = self.metrics.best_val_loss
+        patience_counter = (
+            max(0, (start_epoch - 1) - self.metrics.best_epoch)
+            if start_epoch and self.metrics.best_epoch >= 0
+            else 0
+        )
+        for epoch in range(start_epoch, cfg.max_epochs):
             train_loss = self.train_epoch(epoch)
             self.train_dataset.set_epoch(epoch)
             self.metrics.train_losses.append(train_loss)
@@ -263,14 +311,22 @@ class Trainer:
                 best_val = val_loss
                 self.metrics.best_val_loss = val_loss
                 self.metrics.best_epoch = epoch
-                self.save_checkpoint("best")
+                self.save_checkpoint("best", epoch=epoch)
                 patience_counter = 0
             else:
                 patience_counter += 1
+            self.save_checkpoint("latest", epoch=epoch)
             if patience_counter >= cfg.patience:
                 break
             if epoch % cfg.checkpoint_every_epochs == 0:
-                self.save_checkpoint(f"epoch_{epoch}")
+                self.save_checkpoint(f"epoch_{epoch}", epoch=epoch)
+        # Held-out evaluation with the best weights, scored exactly once.
+        if self.test_dataset is not None:
+            ckpt = CheckpointManager(self.checkpoint_dir)
+            if ckpt.exists("best"):
+                self.state = ckpt.restore("best", template=self.state)
+            self.metrics.test_loss = self.validate(self.test_dataset)
+            self.metrics.save(self.checkpoint_dir)
         return self.metrics
 
     # ------------------------------------------------------------ tuner
@@ -372,9 +428,27 @@ class Trainer:
 
     # ------------------------------------------------------------ io
 
-    def save_checkpoint(self, name: str, directory: Path | None = None):
+    def save_checkpoint(
+        self, name: str, directory: Path | None = None, epoch: int | None = None
+    ):
+        """Checkpoint = device state (params/opt-state/step, Orbax) + host
+        snapshot sidecar. With ``epoch`` set, the sidecar carries the full
+        resume payload: metrics, epoch, dataset curriculum epoch, and the
+        host PRNG key (the reference saves model/optimizer/metrics/
+        hyperparams, trainer.py:417-432; curriculum + RNG are additions the
+        reference forgets and silently resets on restore)."""
         ckpt = CheckpointManager(directory or self.checkpoint_dir)
-        ckpt.save(name, self.state, extra=self.hyper)
+        extra = dict(self.hyper)
+        if epoch is not None:
+            from dataclasses import asdict
+
+            extra["train_state"] = {
+                "epoch": epoch,
+                "metrics": asdict(self.metrics),
+                "dataset_epoch": self.train_dataset.epoch,
+                "rng_key": np.asarray(self.rng).tolist(),
+            }
+        ckpt.save(name, self.state, extra=extra)
 
     def load_checkpoint(self, name: str, directory: Path | None = None):
         ckpt = CheckpointManager(directory or self.checkpoint_dir)
@@ -388,6 +462,23 @@ class Trainer:
                 extra["decoder_lr"],
                 extra["complexity_penalty"],
             )
+        return extra
+
+    def resume_from(self, name: str, directory: Path | None = None) -> int:
+        """Restore a full training snapshot; returns the completed epoch.
+
+        Restores what ``load_checkpoint`` does plus metrics (early-stopping
+        state), the dataset curriculum epoch (negative-sampling offset),
+        and the host PRNG key — everything needed for the resumed
+        trajectory to match the uninterrupted one."""
+        extra = self.load_checkpoint(name, directory) or {}
+        snap = extra.get("train_state")
+        if not snap:
+            return -1
+        self.metrics = TrainingMetrics(**snap["metrics"])
+        self.train_dataset.set_epoch(snap["dataset_epoch"])
+        self.rng = jnp.asarray(snap["rng_key"], dtype=jnp.uint32)
+        return int(snap["epoch"])
 
     def _dump_audio(self, epoch: int, iteration: int, batch: np.ndarray):
         """Input/output wav dump + complex-size metadata
