@@ -66,15 +66,27 @@ def _compiled_flops(fn, *args) -> float | None:
         return None
 
 
-def _measure(train_step, state, batch, temp, iters=10):
-    for i in range(2):
-        state, _ = train_step(state, batch, temp, jax.random.PRNGKey(i))
-    jax.block_until_ready(state)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, _ = train_step(state, batch, temp, jax.random.PRNGKey(100 + i))
-    jax.block_until_ready(state)
-    return (time.perf_counter() - t0) / iters
+def _measure(train_step, state0, batch, temp, k1=5, k2=25):
+    """True sec/step via the chain-length slope (utils.chain_time): the
+    state chain makes steps sequentially dependent, the terminal scalar
+    fetch forces real completion, and the slope cancels dispatch/fetch
+    latency. (block_until_ready returns early over the remote-TPU tunnel —
+    round-1 numbers timed dispatch, not compute; see utils/profiling.py.)
+    """
+    from topo_audio_autoencoder_tpu.utils import chain_time
+
+    rng = jax.random.PRNGKey(7)
+
+    def make_step():
+        carry = {"s": state0}
+
+        def step(i):
+            carry["s"], metrics = train_step(carry["s"], batch, temp, rng)
+            return metrics["total_loss"]
+
+        return step
+
+    return chain_time(make_step, k1=k1, k2=k2)
 
 
 def main() -> None:
@@ -129,7 +141,7 @@ def main() -> None:
     batch12 = jnp.asarray(
         rng.standard_normal((b12, 12, 1, t), dtype=np.float32)
     )
-    dt12 = _measure(train_step, state, batch12, temp, iters=5)
+    dt12 = _measure(train_step, state, batch12, temp, k1=3, k2=10)
     clips12 = b12 / dt12
 
     extras = {

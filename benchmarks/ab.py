@@ -14,8 +14,11 @@ Prints one JSON line per measurement.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -48,14 +51,19 @@ def _step_time(model, batch_size=128, group=3, iters=ITERS):
         )
     )
     temp = jnp.asarray(1.0)
-    for i in range(3):
-        state, _ = step(state, batch, temp, jax.random.PRNGKey(i))
-    jax.block_until_ready(state)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, _ = step(state, batch, temp, jax.random.PRNGKey(100 + i))
-    jax.block_until_ready(state)
-    return (time.perf_counter() - t0) / iters
+    rng = jax.random.PRNGKey(7)
+    from topo_audio_autoencoder_tpu.utils import chain_time
+
+    def make_step():
+        carry = {"s": state}
+
+        def run(i):
+            carry["s"], metrics = step(carry["s"], batch, temp, rng)
+            return metrics["total_loss"]
+
+        return run
+
+    return chain_time(make_step, k1=4, k2=max(8, iters))
 
 
 def ab_rectifier():

@@ -20,9 +20,12 @@ Usage: python benchmarks/full_recipe.py [--quick] [--epochs N] [--corpus N]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -18,6 +18,7 @@ Prints one JSON line per segment.
 from __future__ import annotations
 
 import json
+import os
 import pickle
 import subprocess
 import sys
@@ -65,9 +66,12 @@ def run_on(platform: str, payload: bytes) -> dict:
          tempfile.NamedTemporaryFile(suffix=".npz") as out:
         f.write(payload)
         f.flush()
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ)
+        env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
         res = subprocess.run(
             [sys.executable, "-c", _WORKER, f.name, out.name, platform],
-            capture_output=True, text=True, timeout=560,
+            capture_output=True, text=True, timeout=560, env=env,
         )
         if "DONE" not in res.stdout:
             raise RuntimeError(res.stderr[-2000:])

@@ -3,6 +3,13 @@
 Each prints one JSON line; the repo-root ``bench.py`` remains the single
 headline metric. Run: ``python benchmarks/run_all.py [--quick]``.
 
+Timing methodology (round 2): ``block_until_ready`` returns early over the
+remote-TPU tunnel (see utils/profiling.fetch_scalar), so every config is
+measured as a CHAIN of sequentially-dependent jitted calls terminated by a
+scalar fetch, and per-call time is the slope between two chain lengths
+(utils.chain_time) — dispatch and fetch round-trips cancel. Round-1 numbers
+predate this fix and timed dispatch, not compute.
+
 Configs:
 1. batch=1 encoder -> HardConcrete -> complex_builder forward (golden ref)
 2. full autoencoder fwd + recon loss, batch=8, vertices+edges only
@@ -14,8 +21,11 @@ Configs:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -25,14 +35,10 @@ T = 64000
 QUICK = "--quick" in sys.argv
 
 
-def _bench(fn, *args, iters=10, warmup=2):
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+def _chain(make_step, k1=4, k2=16):
+    from topo_audio_autoencoder_tpu.utils import chain_time
+
+    return chain_time(make_step, k1=k1, k2=k2)
 
 
 def _emit(name, value, unit, extra=None):
@@ -43,17 +49,16 @@ def _emit(name, value, unit, extra=None):
 
 
 def config0():
-    """Encoder+SCCN(+decoder) forward p50 latency, batch 1 — the second
-    BASELINE.json headline metric."""
-    import numpy as np
-
+    """Encoder+SCCN(+decoder) forward latency, batch 1 — the second
+    BASELINE.json headline metric. value = slope-derived device ms/call;
+    e2e_p50_ms additionally includes the host<->device round trip."""
     from topo_audio_autoencoder_tpu.models import AudioAutoencoder
     from topo_audio_autoencoder_tpu.utils import time_fn
 
     model = AudioAutoencoder.create(
         num_vertices=20, num_bands=16, sccn_hidden_dim=64
     )
-    x = jnp.zeros((1, 1, T))
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 1, T)) * 0.1
     params = model.jit_init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         x, 1.0, jax.random.PRNGKey(2), True,
@@ -61,10 +66,24 @@ def config0():
 
     @jax.jit
     def fwd(params, x):
-        return model.apply(params, x, 1.0, None, False).waveform
+        # output feeds the next call: sequentially-dependent chain
+        return jnp.tanh(model.apply(params, x, 1.0, None, False).waveform)
 
-    stats = time_fn(fwd, params, x, warmup=3, iters=30)
-    _emit("0_fwd_p50_b1", stats["p50"] * 1e3, "ms", {"min_ms": round(stats["min"] * 1e3, 3)})
+    def make_step():
+        carry = {"x": x}
+
+        def step(i):
+            carry["x"] = fwd(params, carry["x"])
+            return carry["x"]
+
+        return step
+
+    dt = _chain(make_step, k1=5, k2=25)
+    e2e = time_fn(fwd, params, x, warmup=2, iters=10)
+    _emit(
+        "0_fwd_b1", dt * 1e3, "ms",
+        {"e2e_p50_ms": round(e2e["p50"] * 1e3, 3)},
+    )
 
 
 def config1():
@@ -75,7 +94,7 @@ def config1():
         num_vertices=20, num_bands=16, sccn_hidden_dim=64,
         hard=True, sampler="hard_concrete",
     )
-    x = jnp.zeros((1, 1, T))
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 1, T)) * 0.1
     params = model.jit_init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         x, 1.0, jax.random.PRNGKey(2), True,
@@ -83,11 +102,23 @@ def config1():
 
     @jax.jit
     def encode(params, x, rng):
-        return model.apply(
-            params, x, 1.0, rng, False, method=lambda m, a, t_, r, tr: m.encode(a, t_, r, tr)
-        ).ops.adj0
+        enc = model.apply(
+            params, x, 1.0, rng, False,
+            method=lambda m, a, t_, r, tr: m.encode(a, t_, r, tr),
+        )
+        # fold a scalar of the output into the next input: dependency chain
+        return x + 0.0 * enc.probs.vertices.sum()
 
-    dt = _bench(encode, params, x, jax.random.PRNGKey(3))
+    def make_step():
+        carry = {"x": x}
+
+        def step(i):
+            carry["x"] = encode(params, carry["x"], jax.random.PRNGKey(3))
+            return carry["x"]
+
+        return step
+
+    dt = _chain(make_step, k1=5, k2=25)
     _emit("1_encoder_forward_b1", dt * 1e3, "ms/clip")
 
 
@@ -109,9 +140,18 @@ def config2():
     def fwd(params, x):
         out = model.apply(params, x, 1.0, None, False)
         total, _ = autoencoder_loss(out.waveform, x, out.aux, out.valid)
-        return total
+        return x + 0.0 * total
 
-    dt = _bench(fwd, params, x)
+    def make_step():
+        carry = {"x": x}
+
+        def step(i):
+            carry["x"] = fwd(params, carry["x"])
+            return carry["x"]
+
+        return step
+
+    dt = _chain(make_step, k1=4, k2=16)
     _emit("2_full_forward_b8_rank1", 8 / dt, "clips/s")
 
 
@@ -131,31 +171,39 @@ def config3():
     state = create_train_state(model, opt, jax.random.PRNGKey(0), (1, 1, T))
     step = make_train_step(model, opt, donate=False)
     batch = jax.random.normal(jax.random.PRNGKey(1), (b, 1, 1, T)) * 0.1
+    rng = jax.random.PRNGKey(2)
+    temp = jnp.asarray(1.0)
 
-    def run(state, batch, rng):
-        s, m = step(state, batch, jnp.asarray(1.0), rng)
-        return m["total_loss"]
+    def make_step():
+        carry = {"s": state}
 
-    dt = _bench(run, state, batch, jax.random.PRNGKey(2))
+        def run(i):
+            carry["s"], m = step(carry["s"], batch, temp, rng)
+            return m["total_loss"]
+
+        return run
+
+    dt = _chain(make_step, k1=4, k2=16)
     _emit(f"3_train_step_b{b}_hard", b / dt, "clips/s")
 
 
 def config4():
     """One training epoch over a synthetic corpus with on-device distance
     cache, batch=128 (32 in --quick). Device-resident corpus: steps
-    receive [B, G] index matrices, waveform gathers happen in HBM."""
+    receive [B, G] index matrices, waveform gathers happen in HBM.
+    Wall-clock epoch time, terminated by a real scalar fetch."""
     from topo_audio_autoencoder_tpu.data import (
-        NSynthDataset, compute_distances, index_iterator, synth_corpus,
+        ContrastiveConfig, NSynthDataset, compute_distances, index_iterator,
+        prefetch_to_device, synth_corpus,
     )
     from topo_audio_autoencoder_tpu.models import AudioAutoencoder
     from topo_audio_autoencoder_tpu.training import (
         anneal_temperature, create_train_state, make_indexed_train_step,
         make_optimizer,
     )
+    from topo_audio_autoencoder_tpu.utils import fetch_scalar
 
-    from topo_audio_autoencoder_tpu.data import ContrastiveConfig
-
-    n, b = (128, 32) if QUICK else (512, 128)
+    n, b = (128, 32) if QUICK else (2048, 128)
     corpus = synth_corpus(n, T)
     t0 = time.perf_counter()
     dists = compute_distances(corpus, tile=64)
@@ -175,21 +223,23 @@ def config4():
     )
 
     temp = anneal_temperature(0)
+    key = jax.random.PRNGKey(1)  # per-step keys fold in-jit from the step counter
     # warmup compile on first batch shape
     first = next(iter(index_iterator(ds, b)))
-    state, _ = step(state, jnp.asarray(first), temp, jax.random.PRNGKey(1))
-    jax.block_until_ready(state.params)
+    state, m = step(state, jnp.asarray(first), temp, key)
+    fetch_scalar(m["total_loss"])
 
     t0 = time.perf_counter()
     count = 0
-    for i, idxs in enumerate(index_iterator(ds, b)):
-        state, m = step(state, jnp.asarray(idxs), temp, jax.random.PRNGKey(i))
+    for idxs in prefetch_to_device(index_iterator(ds, b), 2):
+        state, m = step(state, idxs, temp, key)
         count += b
-    jax.block_until_ready(state.params)
+    fetch_scalar(m["total_loss"])
     dt = time.perf_counter() - t0
     _emit(
         f"4_epoch_b{b}", count / dt, "clips/s",
-        {"precompute_s": round(precompute_s, 2), "corpus": n},
+        {"precompute_s": round(precompute_s, 2), "corpus": n,
+         "steps": count // b},
     )
 
 
@@ -215,13 +265,20 @@ def config5():
     batch = shard_batch(
         jax.random.normal(jax.random.PRNGKey(1), (b, 3, 1, T)) * 0.1, mesh
     )
+    rng = jax.random.PRNGKey(2)
+    temp = jnp.asarray(1.0)
 
-    def run(state, batch, rng):
-        with mesh:
-            s, m = step(state, batch, jnp.asarray(1.0), rng)
-        return m["total_loss"]
+    def make_step():
+        carry = {"s": state}
 
-    dt = _bench(run, state, batch, jax.random.PRNGKey(2))
+        def run(i):
+            with mesh:
+                carry["s"], m = step(carry["s"], batch, temp, rng)
+            return m["total_loss"]
+
+        return run
+
+    dt = _chain(make_step, k1=4, k2=16)
     _emit(
         f"5_dp{nd}_bf16_b{b}", b / dt, "clips/s",
         {"devices": nd, "per_chip": round(b / dt / nd, 2)},

@@ -7,7 +7,7 @@ from .debug import (
     finite_or_zero,
     golden_precision,
 )
-from .profiling import time_fn, trace
+from .profiling import chain_time, fetch_scalar, time_fn, trace
 
 __all__ = [
     "assert_finite_tree",
@@ -15,6 +15,8 @@ __all__ = [
     "checked",
     "finite_or_zero",
     "golden_precision",
+    "chain_time",
+    "fetch_scalar",
     "time_fn",
     "trace",
 ]

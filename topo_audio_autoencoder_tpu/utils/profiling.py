@@ -25,19 +25,34 @@ def trace(log_dir: str = "/tmp/jax_trace"):
         jax.profiler.stop_trace()
 
 
-def time_fn(fn, *args, warmup: int = 2, iters: int = 10, **kwargs) -> dict:
-    """Wall-clock a jitted function with proper device synchronization.
+def fetch_scalar(out) -> float:
+    """Force TRUE completion of ``out`` by fetching one element to host.
 
+    ``jax.block_until_ready`` can return before execution finishes on some
+    remote PJRT transports (measured on the axon tunnel: 50 *chained*
+    4096^3 f32 matmuls "completed" in 1 ms — a physical impossibility; a
+    calibrated chain-length sweep with scalar fetches recovers the chip's
+    true ~190 bf16 TFLOP/s). A device->host read of any element cannot
+    return early: it needs the bytes.
+    """
+    leaves = [l for l in jax.tree.leaves(out) if hasattr(l, "ravel")]
+    smallest = min(leaves, key=lambda l: getattr(l, "size", 1))
+    return float(np.asarray(smallest.ravel()[:1])[0])
+
+
+def time_fn(fn, *args, warmup: int = 2, iters: int = 10, **kwargs) -> dict:
+    """Wall-clock a jitted function, completion forced by a scalar fetch.
+
+    Per-call times INCLUDE one host round-trip (the fetch); for sub-ms
+    device work prefer ``chain_time``, which cancels that constant out.
     Returns {'p50', 'mean', 'min', 'max'} in seconds per call.
     """
     for _ in range(warmup):
-        out = fn(*args, **kwargs)
-        jax.block_until_ready(out)
+        fetch_scalar(fn(*args, **kwargs))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn(*args, **kwargs)
-        jax.block_until_ready(out)
+        fetch_scalar(fn(*args, **kwargs))
         times.append(time.perf_counter() - t0)
     times = np.asarray(times)
     return {
@@ -46,3 +61,31 @@ def time_fn(fn, *args, warmup: int = 2, iters: int = 10, **kwargs) -> dict:
         "min": float(times.min()),
         "max": float(times.max()),
     }
+
+
+def chain_time(make_step, k1: int = 5, k2: int = 25, warmup: int = 3) -> float:
+    """True per-call device time via a chain-length slope.
+
+    ``make_step()`` returns a ``step(i) -> out`` closure whose calls are
+    SEQUENTIALLY DEPENDENT (each consumes the previous output/state). Two
+    chain lengths are run, each terminated by a scalar fetch; the slope
+    (T2 - T1) / (k2 - k1) cancels the fixed dispatch + fetch round-trip —
+    robust even where ``block_until_ready`` lies (see ``fetch_scalar``).
+    """
+    step = make_step()
+    for i in range(warmup):
+        out = step(i)
+    fetch_scalar(out)
+
+    def run(k):
+        step = make_step()
+        t0 = time.perf_counter()
+        out = None
+        for i in range(k):
+            out = step(i)
+        fetch_scalar(out)
+        return time.perf_counter() - t0
+
+    t1 = run(k1)
+    t2 = run(k2)
+    return max((t2 - t1) / (k2 - k1), 1e-9)
