@@ -230,3 +230,116 @@ def test_gumbel_gradients_finite():
 
     g = jax.grad(loss)(jnp.linspace(-3, 3, 64))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+# ------------------------------------------------- fused attention
+
+
+def _attn_shapes(rng, b=3, q=37, m=157, c=32):
+    qx = jnp.asarray(rng.standard_normal((b, q, c)), jnp.float32)
+    kx = jnp.asarray(rng.standard_normal((b, m, c)), jnp.float32)
+    vx = jnp.asarray(rng.standard_normal((b, m, c)), jnp.float32)
+    mask = (rng.random((b, m)) > 0.3).astype(np.float32)
+    mask[1] = 0.0  # one fully-masked sample: output must be exactly zero
+    return qx, kx, vx, jnp.asarray(mask)
+
+
+def test_fused_attention_matches_reference(rng):
+    from topo_audio_autoencoder_tpu.ops.attention import (
+        _attn_fwd_call,
+        _fused_fwd,
+        _reference_attention,
+        _round_up,
+        _split_heads,
+        fused_masked_attention,
+    )
+
+    qx, kx, vx, mask = _attn_shapes(rng)
+    h = 4
+    ref = _reference_attention(qx, kx, vx, mask, h)
+
+    # CPU dispatch goes through the jnp path — identity by construction;
+    # run the Pallas kernel in interpreter mode to check the kernel math.
+    b, q, c = qx.shape
+    m = kx.shape[1]
+    qp, mp = _round_up(q, 128), _round_up(m, 128)
+    qh = jnp.pad(_split_heads(qx, h), ((0, 0), (0, qp - q), (0, 0)))
+    kth = jnp.pad(
+        jnp.swapaxes(_split_heads(kx, h), 1, 2), ((0, 0), (0, 0), (0, mp - m))
+    )
+    vh = jnp.pad(_split_heads(vx, h), ((0, 0), (0, mp - m), (0, 0)))
+    maskp = jnp.pad(mask.astype(jnp.float32), ((0, 0), (0, mp - m)))[:, None, :]
+    out, p = _attn_fwd_call(qh, kth, vh, maskp, interpret=True)
+
+    from topo_audio_autoencoder_tpu.ops.attention import _merge_heads
+
+    got = _merge_heads(out[:, :q], b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+    # fully-masked sample: exact zeros (output and weights)
+    assert np.all(np.asarray(got[1]) == 0.0)
+    ph = np.asarray(p).reshape(b, h, qp, mp)
+    assert np.all(ph[1] == 0.0)
+    # weights are a softmax: rows of valid samples sum to 1
+    np.testing.assert_allclose(
+        ph[0, :, :q, :].sum(-1), np.ones((h, q)), atol=2e-2
+    )
+
+
+def test_fused_attention_gradients_match_reference(rng):
+    from topo_audio_autoencoder_tpu.ops.attention import (
+        _reference_attention,
+        fused_masked_attention,
+    )
+
+    qx, kx, vx, mask = _attn_shapes(rng, b=2, q=13, m=29, c=16)
+    h = 4
+
+    def loss_fused(q, k, v):
+        return (fused_masked_attention(q, k, v, mask, h) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (_reference_attention(q, k, v, mask, h) ** 2).sum()
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(qx, kx, vx)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(qx, kx, vx)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+def test_fused_attention_bwd_formula_matches_autodiff(rng):
+    """The hand-written XLA backward (used on TPU with the saved weights)
+    must equal autodiff of the reference math. Exercised by faking the
+    TPU residual path: call _fused_bwd with a p computed by the kernel."""
+    from topo_audio_autoencoder_tpu.ops.attention import (
+        _attn_fwd_call,
+        _fused_bwd,
+        _reference_attention,
+        _round_up,
+        _split_heads,
+    )
+
+    qx, kx, vx, mask = _attn_shapes(rng, b=2, q=13, m=29, c=16)
+    h = 4
+    b, q, c = qx.shape
+    m = kx.shape[1]
+    qp, mp = _round_up(q, 128), _round_up(m, 128)
+    qh = jnp.pad(_split_heads(qx, h), ((0, 0), (0, qp - q), (0, 0)))
+    kth = jnp.pad(
+        jnp.swapaxes(_split_heads(kx, h), 1, 2), ((0, 0), (0, 0), (0, mp - m))
+    )
+    vh = jnp.pad(_split_heads(vx, h), ((0, 0), (0, mp - m), (0, 0)))
+    maskp = jnp.pad(mask.astype(jnp.float32), ((0, 0), (0, mp - m)))[:, None, :]
+    out, p = _attn_fwd_call(qh, kth, vh, maskp, interpret=True)
+
+    ct = jnp.asarray(rng.standard_normal((b, q, c)), jnp.float32)
+    dq, dk, dv, dm = _fused_bwd(h, (qx, kx, vx, mask, p), ct)
+    assert dm is None
+
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _reference_attention(q_, k_, v_, mask, h),
+        qx, kx, vx,
+    )
+    rq, rk, rv = vjp(ct)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), atol=1e-4)

@@ -40,7 +40,7 @@ def linear_resize(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
     src = jnp.clip(src, 0.0, t - 1.0)
     i0 = jnp.floor(src).astype(jnp.int32)
     i1 = jnp.minimum(i0 + 1, t - 1)
-    w = (src - i0)[..., :, None]
+    w = (src - i0)[..., :, None].astype(x.dtype)  # keep the compute dtype
     return x[..., i0, :] * (1.0 - w) + x[..., i1, :] * w
 
 
@@ -56,7 +56,7 @@ def masked_linear_resize(
     src = jnp.clip((j + 0.5) * vl / out_len - 0.5, 0.0, jnp.maximum(vl - 1.0, 0.0))
     i0 = jnp.floor(src).astype(jnp.int32)  # [B, out]
     i1 = jnp.minimum(i0 + 1, jnp.maximum(valid_len[:, None] - 1, 0))
-    w = (src - i0)[..., None]
+    w = (src - i0)[..., None].astype(x.dtype)  # keep the compute dtype
     g0 = jnp.take_along_axis(x, i0[..., None], axis=1)
     g1 = jnp.take_along_axis(x, i1[..., None], axis=1)
     return g0 * (1.0 - w) + g1 * w
@@ -120,29 +120,25 @@ class BottleneckProj(nn.Module):
 
 class CrossAttention(nn.Module):
     """4-head dot-product attention with an additive key mask
-    (decoder.py:58-63). Computed in fp32 for a stable softmax."""
+    (decoder.py:58-63). Computed in fp32 for a stable softmax.
+
+    The score/softmax/contract core runs as a fused Pallas kernel on TPU
+    (ops/attention.py): XLA's forward fusion over the materialized
+    [B, H, Q, M] fp32 score tensor measured ~30 GB/s effective — 84% of
+    the decode forward at the flagship shape — while the kernel keeps the
+    scores in VMEM and writes only the bf16 weights + output."""
 
     channels: int
     num_heads: int = 4
 
     @nn.compact
     def __call__(self, query, keys, values, key_mask):
-        h, d = self.num_heads, self.channels // self.num_heads
-        b, tq, _ = query.shape
-        tm = keys.shape[1]
-        q = nn.Dense(self.channels, name="q_proj")(query).reshape(b, tq, h, d)
-        k = nn.Dense(self.channels, name="k_proj")(keys).reshape(b, tm, h, d)
-        v = nn.Dense(self.channels, name="v_proj")(values).reshape(b, tm, h, d)
-        scores = jnp.einsum("bqhd,bmhd->bhqm", q, k).astype(jnp.float32)
-        scores = scores / jnp.sqrt(jnp.asarray(d, jnp.float32))
-        neg = jnp.asarray(-1e9, jnp.float32)
-        scores = jnp.where(key_mask[:, None, None, :] > 0, scores, neg)
-        attn = nn.softmax(scores, axis=-1)
-        # All-masked memory: softmax over uniform -1e9 is uniform garbage;
-        # zero the output instead (the invalid-state path).
-        any_valid = (key_mask.sum(axis=-1) > 0)[:, None, None, None]
-        attn = jnp.where(any_valid, attn, 0.0).astype(query.dtype)
-        out = jnp.einsum("bhqm,bmhd->bqhd", attn, v).reshape(b, tq, self.channels)
+        from ..ops.attention import fused_masked_attention
+
+        q = nn.Dense(self.channels, name="q_proj")(query)
+        k = nn.Dense(self.channels, name="k_proj")(keys)
+        v = nn.Dense(self.channels, name="v_proj")(values)
+        out = fused_masked_attention(q, k, v, key_mask, self.num_heads)
         return nn.Dense(self.channels, name="out_proj")(out)
 
 

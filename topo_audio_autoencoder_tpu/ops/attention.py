@@ -1,0 +1,222 @@
+"""Fused masked cross-attention (Pallas TPU forward, XLA backward).
+
+Why this exists: the decoder's cross-attention (reference decoder.py:58-63)
+materializes a [B, H, Q, M] fp32 score tensor (3.2 GB at the flagship
+shape B=128, H=4, Q=250, M=6175). XLA's forward fusion for
+mask -> rowmax -> softmax over that tensor runs at ~30 GB/s effective on
+v5e (measured: 221 of the 262 ms decode forward — 84% of the whole step's
+forward). Layout and dtype variants don't help (bench:
+benchmarks/profile_step.py attn — all within 1%).
+
+The fix is to never stream the score tensor through HBM: one Pallas
+program per (batch*head, q-block) computes scores for the full memory
+axis in VMEM (Q-block 128 x M ~ 3 MB fp32), does the fp32-island softmax
+in place, and writes only the bf16 attention weights (needed as the
+backward residual — exactly what XLA itself saves) and the [Q, D] output.
+
+The backward is plain XLA on the saved weights: the softmax VJP has no
+max-reduce and measured ~9 ms at this shape (the pathology is specific to
+XLA's forward multi-output mask+max fusion).
+
+Semantics (identical to the jnp reference path in models/decoder.py):
+- scores scaled by 1/sqrt(D), key-mask applied additively (-1e9),
+- softmax in fp32 regardless of input dtype (fp32 island),
+- rows whose memory is fully masked produce exactly zero output
+  (and zero attention weights, so their gradient is zero too).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+_QBLK = 128
+
+
+def _attn_kernel(q_ref, kt_ref, v_ref, mask_ref, out_ref, p_ref, *, scale):
+    """One (batch*head, q-block) program: full-M softmax in VMEM."""
+    q = q_ref[0]  # [QBLK, D] bf16
+    kt = kt_ref[0]  # [D, Mp]
+    v = v_ref[0]  # [Mp, D]
+    mask = mask_ref[0]  # [1, Mp] float32 {0,1}
+    s = jax.lax.dot_general(
+        q, kt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [QBLK, Mp] fp32
+    s = s * scale
+    s = jnp.where(mask > 0.0, s, -1e9)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    # All-masked memory: uniform e over -1e9 rows is garbage; zero it.
+    valid = (jnp.sum(mask) > 0.0).astype(jnp.float32)
+    p = (e / denom) * valid
+    p_bf = p.astype(v.dtype)
+    o = jnp.dot(p_bf, v, preferred_element_type=jnp.float32)
+    out_ref[0] = o.astype(out_ref.dtype)
+    p_ref[0] = p_bf
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _attn_fwd_call(qh, kth, vh, maskp, interpret=False):
+    """qh [BH, Qp, D], kth [BH, D, Mp], vh [BH, Mp, D], maskp [B, 1, Mp]."""
+    from jax.experimental import pallas as pl
+
+    bh, qp, d = qh.shape
+    mp = kth.shape[-1]
+    b = maskp.shape[0]
+    h = bh // b
+    scale = 1.0 / np.sqrt(d)
+    grid = (bh, qp // _QBLK)
+    out, p = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _QBLK, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, d, mp), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, mp, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, mp), lambda i, j: (i // h, 0, 0)),
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, qp, d), qh.dtype),
+            jax.ShapeDtypeStruct((bh, qp, mp), qh.dtype),
+        ),
+        out_specs=(
+            pl.BlockSpec((1, _QBLK, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, _QBLK, mp), lambda i, j: (i, j, 0)),
+        ),
+        interpret=interpret,
+    )(qh, kth, vh, maskp)
+    return out, p
+
+
+def _reference_attention(query, keys, values, key_mask, num_heads):
+    """jnp path (CPU fallback + golden reference). Identical math."""
+    b, tq, c = query.shape
+    tm = keys.shape[1]
+    h, d = num_heads, c // num_heads
+    q = query.reshape(b, tq, h, d)
+    k = keys.reshape(b, tm, h, d)
+    v = values.reshape(b, tm, h, d)
+    scores = jnp.einsum("bqhd,bmhd->bhqm", q, k).astype(jnp.float32)
+    scores = scores / np.sqrt(d)
+    scores = jnp.where(key_mask[:, None, None, :] > 0, scores, -1e9)
+    attn = jax.nn.softmax(scores, axis=-1)
+    any_valid = (key_mask.sum(axis=-1) > 0)[:, None, None, None]
+    attn = jnp.where(any_valid, attn, 0.0).astype(query.dtype)
+    out = jnp.einsum("bhqm,bmhd->bqhd", attn, v)
+    return out.reshape(b, tq, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_masked_attention(query, keys, values, key_mask, num_heads):
+    """Multi-head dot-product attention with a key-padding mask.
+
+    query [B, Q, C], keys/values [B, M, C], key_mask [B, M] {0,1}.
+    Returns [B, Q, C]. C = num_heads * head_dim. Pallas on TPU, jnp
+    elsewhere; fp32 softmax either way.
+    """
+    out, _ = _fused_fwd(query, keys, values, key_mask, num_heads)
+    return out
+
+
+def _split_heads(x, h):
+    b, t, c = x.shape
+    return x.reshape(b, t, h, c // h).transpose(0, 2, 1, 3).reshape(b * h, t, c // h)
+
+
+def _merge_heads(x, b):
+    bh, t, d = x.shape
+    h = bh // b
+    return x.reshape(b, h, t, d).transpose(0, 2, 1, 3).reshape(b, t, h * d)
+
+
+def _use_pallas() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _fused_fwd(query, keys, values, key_mask, num_heads):
+    # Harmonize input dtypes (mixed f32/bf16 callers otherwise hit the
+    # kernel with a q-dtype p_ref vs v-dtype weights); softmax is fp32
+    # inside the kernel regardless. Residuals keep the ORIGINAL arrays —
+    # the VJP must return cotangents in the original dtypes, and dtypes
+    # themselves are not valid residual leaves.
+    dt = jnp.result_type(query, keys, values)
+    if not _use_pallas():
+        out = _reference_attention(
+            query.astype(dt), keys.astype(dt), values.astype(dt),
+            key_mask, num_heads,
+        )
+        return out, (query, keys, values, key_mask, None)
+
+    b, tq, c = query.shape
+    tm = keys.shape[1]
+    h, d = num_heads, c // num_heads
+    qp, mp = _round_up(tq, _QBLK), _round_up(tm, 128)
+
+    qh = _split_heads(query.astype(dt), h)  # [BH, Q, D]
+    kh = _split_heads(keys.astype(dt), h)
+    vh = _split_heads(values.astype(dt), h)
+    qh = jnp.pad(qh, ((0, 0), (0, qp - tq), (0, 0)))
+    kth = jnp.pad(jnp.swapaxes(kh, 1, 2), ((0, 0), (0, 0), (0, mp - tm)))
+    vh = jnp.pad(vh, ((0, 0), (0, mp - tm), (0, 0)))
+    maskp = jnp.pad(key_mask.astype(jnp.float32), ((0, 0), (0, mp - tm)))[:, None, :]
+
+    out, p = _attn_fwd_call(qh, kth, vh, maskp)
+    out = _merge_heads(out[:, :tq], b)
+    return out, (query, keys, values, key_mask, p)
+
+
+def _fused_bwd(num_heads, res, ct):
+    query, keys, values, key_mask, p = res
+    b, tq, c = query.shape
+    tm = keys.shape[1]
+    h, d = num_heads, c // num_heads
+    scale = 1.0 / np.sqrt(d)
+    dt = jnp.result_type(query, keys, values)
+
+    if p is None:
+        # CPU path: differentiate the reference implementation.
+        _, vjp = jax.vjp(
+            lambda q, k, v: _reference_attention(
+                q.astype(dt), k.astype(dt), v.astype(dt), key_mask, h
+            ),
+            query, keys, values,
+        )
+        return *vjp(ct.astype(dt)), None
+
+    # p: [BH, Qp, Mp] saved attention weights (bf16). Plain-XLA softmax
+    # VJP — no max-reduce, measured fast at this shape.
+    qh = _split_heads(query, h)
+    kh = _split_heads(keys, h)
+    vh = _split_heads(values, h)
+    doh = _split_heads(ct, h)  # [BH, Q, D]
+    pq = p[:, :tq, :tm].astype(jnp.float32)  # [BH, Q, M]
+
+    dv = jnp.einsum("bqm,bqd->bmd", pq, doh.astype(jnp.float32))
+    dp = jnp.einsum("bqd,bmd->bqm", doh.astype(jnp.float32), vh.astype(jnp.float32))
+    ds = pq * (dp - jnp.sum(pq * dp, axis=-1, keepdims=True))  # softmax VJP
+    # masked (and all-masked) positions have p == 0 => ds == 0 there, so
+    # the mask needs no separate handling.
+    dq = jnp.einsum("bqm,bmd->bqd", ds, kh.astype(jnp.float32)) * scale
+    dk = jnp.einsum("bqm,bqd->bmd", ds, qh.astype(jnp.float32)) * scale
+
+    return (
+        _merge_heads(dq, b).astype(query.dtype),
+        _merge_heads(dk, b).astype(keys.dtype),
+        _merge_heads(dv, b).astype(values.dtype),
+        None,
+    )
+
+
+fused_masked_attention.defvjp(_fused_fwd, _fused_bwd)
