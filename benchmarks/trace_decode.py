@@ -93,10 +93,43 @@ def analyze(log_dir: str, top: int = 25) -> None:
         print(f"{tool}: wrote {out} ({ctype})", flush=True)
 
 
+def capture_step(log_dir: str) -> None:
+    """Trace the FULL jitted train step (fwd+bwd+opt) at the bench shape."""
+    from topo_audio_autoencoder_tpu.models import AudioAutoencoder
+    from topo_audio_autoencoder_tpu.training import (
+        create_train_state, make_optimizer, make_train_step,
+    )
+    from topo_audio_autoencoder_tpu.utils import fetch_scalar
+
+    on_tpu = jax.default_backend() != "cpu"
+    cdt = jnp.bfloat16 if on_tpu else jnp.float32
+    model = AudioAutoencoder.create(
+        num_vertices=20, num_bands=16, sccn_hidden_dim=64, n_sccn_layers=6
+    )
+    opt = make_optimizer(accumulate_grad_batches=1)
+    state = create_train_state(model, opt, jax.random.PRNGKey(0), (1, 1, T))
+    step = make_train_step(model, opt, compute_dtype=cdt, donate=False)
+    batch = jnp.asarray(
+        np.random.default_rng(0).standard_normal((B, G, 1, T), dtype=np.float32)
+    )
+    temp = jnp.asarray(1.0)
+    key = jax.random.PRNGKey(1)
+    for _ in range(2):
+        state, m = step(state, batch, temp, key)
+    fetch_scalar(m["total_loss"])
+    jax.profiler.start_trace(log_dir)
+    for _ in range(2):
+        state, m = step(state, batch, temp, key)
+    fetch_scalar(m["total_loss"])
+    jax.profiler.stop_trace()
+    print(f"trace captured to {log_dir}", flush=True)
+
+
 if __name__ == "__main__":
-    log_dir = "/tmp/jax_trace_decode"
+    full = "--step" in sys.argv
+    log_dir = "/tmp/jax_trace_step" if full else "/tmp/jax_trace_decode"
     if "--dir" in sys.argv:
         log_dir = sys.argv[sys.argv.index("--dir") + 1]
     if "--analyze-only" not in sys.argv:
-        capture(log_dir)
+        (capture_step if full else capture)(log_dir)
     analyze(log_dir)

@@ -118,26 +118,34 @@ class GradientSCCNLayer(nn.Module):
                 continue
             messages = []
 
-            # Same-rank message: A_r @ (X_r W) (factored for ranks >= 1).
+            # Same-rank message: A_r @ (X_r W). The channel mix W commutes
+            # with every S-axis-linear factor (incidence matmuls, prob and
+            # degree scalings), so it hoists OUTSIDE the whole A_r product:
+            # W is applied ONCE at rank-r size instead of once at the
+            # (up to 4.25x larger) coface rank plus once for the diagonal
+            # term — a measured Dense-time win at n=20 where rank-2's
+            # coface product runs over all 4,845 tetra rows.
             w_same = nn.Dense(
                 self.channels, use_bias=False, name=f"same_rank_{rank}"
             )
             if rank == 0:
-                msg = ops.adj0_matmul(w_same(x))
+                msg = w_same(ops.adj0_matmul(x))
             else:
-                wx = w_same(x)
                 if rank < self.max_rank and (rank + 1) in down:
                     # A_r = B_{r+1} B_{r+1}^T - D: reuse down_{r+1}.
-                    msg = ops.up(rank + 1, w_same(down[rank + 1]))
+                    core = ops.up(rank + 1, down[rank + 1])
                     diag = ops.gram_diag(rank, via_upper=True)
                 elif rank == self.max_rank and rank in up:
                     # A_top = B_top^T B_top - D: reuse up_top.
-                    msg = ops.down(rank, w_same(up[rank]))
+                    core = ops.down(rank, up[rank])
                     diag = ops.gram_diag(rank, via_upper=False)
                 else:  # neighbor rank statically empty -> A_r == 0
-                    msg = jnp.zeros_like(wx)
-                    diag = jnp.zeros_like(ops.probs[rank])
-                msg = msg - diag[..., :, None] * wx
+                    core = None
+                    diag = None
+                if core is None:
+                    msg = jnp.zeros_like(x)
+                else:
+                    msg = w_same(core - diag[..., :, None] * x)
             msg = msg * scale_same
             messages.append(msg + x if self.residual else msg)
 

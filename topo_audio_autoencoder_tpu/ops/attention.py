@@ -14,9 +14,10 @@ axis in VMEM (Q-block 128 x M ~ 3 MB fp32), does the fp32-island softmax
 in place, and writes only the bf16 attention weights (needed as the
 backward residual — exactly what XLA itself saves) and the [Q, D] output.
 
-The backward is plain XLA on the saved weights: the softmax VJP has no
-max-reduce and measured ~9 ms at this shape (the pathology is specific to
-XLA's forward multi-output mask+max fusion).
+The backward is a second Pallas kernel over the saved weights: the
+softmax-VJP's dp/ds temporaries ([BH, Q, M] fp32, ~3 GB at the flagship
+shape) live and die in VMEM instead of streaming through HBM (~25 ms as
+XLA einsums, ~2 ms fused). dk/dv accumulate across q-block grid visits.
 
 Semantics (identical to the jnp reference path in models/decoder.py):
 - scores scaled by 1/sqrt(D), key-mask applied additively (-1e9),
@@ -95,6 +96,106 @@ def _attn_fwd_call(qh, kth, vh, maskp, interpret=False):
         interpret=interpret,
     )(qh, kth, vh, maskp)
     return out, p
+
+
+_QBLK_BWD = 128
+
+
+def _bwd_compiler_params():
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
+
+def _attn_bwd_kernel(p_ref, dot_ref, qt_ref, kt_ref, vt_ref, dqt_ref, dkt_ref, dvt_ref, *, scale):
+    """One (batch*head, q-block) program: softmax-VJP in VMEM.
+
+    The XLA equivalent materializes dp and ds ([BH, Q, M] fp32, ~3 GB at
+    the flagship shape) through HBM (~25 ms measured); here they live and
+    die in VMEM. dk/dv revisit the same output block across the q-block
+    axis and accumulate (initialized on the first visit).
+
+    All [*, D] tensors travel TRANSPOSED as [D, *]: with D=16 the minor
+    dim would lane-pad 8x (a [Mp, 16] bf16 buffer costs 1.6 MB instead of
+    0.2), which blew the ~16 MB scoped-VMEM budget in the [Mp, D] layout.
+    """
+    from jax.experimental import pallas as pl
+
+    p = p_ref[0]  # [QB, Mp] bf16 saved attention weights
+    dot_ = dot_ref[0]  # [D, QB]
+    qt = qt_ref[0]  # [D, QB]
+    kt = kt_ref[0]  # [D, Mp]
+    vt = vt_ref[0]  # [D, Mp]
+    f32 = jnp.float32
+    # dv^T contribution = do^T @ p : [D, Mp]
+    dvt = jax.lax.dot_general(
+        dot_, p, (((1,), (0,)), ((), ())), preferred_element_type=f32
+    )
+    # dp = do @ v^T : [QB, Mp]  (contract D = sublanes of both)
+    dp = jax.lax.dot_general(
+        dot_, vt, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    )
+    pf = p.astype(f32)
+    ds = pf * (dp - jnp.sum(pf * dp, axis=-1, keepdims=True))  # softmax VJP
+    ds_b = ds.astype(p.dtype)
+    # dq^T = k^T @ ds^T : [D, QB]  (contract Mp = lanes of both)
+    dqt = jax.lax.dot_general(
+        kt, ds_b, (((1,), (1,)), ((), ())), preferred_element_type=f32
+    )
+    # dk^T = q^T @ ds : [D, Mp]  (contract QB)
+    dkt = jax.lax.dot_general(
+        qt, ds_b, (((1,), (0,)), ((), ())), preferred_element_type=f32
+    )
+    dqt_ref[0] = (dqt * scale).astype(dqt_ref.dtype)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dkt_ref[0] = (dkt * scale).astype(dkt_ref.dtype)
+        dvt_ref[0] = dvt.astype(dvt_ref.dtype)
+
+    @pl.when(pl.program_id(1) > 0)
+    def _accum():
+        dkt_ref[0] += (dkt * scale).astype(dkt_ref.dtype)
+        dvt_ref[0] += dvt.astype(dvt_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _attn_bwd_call(p, dot_, qt, kt, vt, interpret=False):
+    """p [BH, Qp, Mp], dot_/qt [BH, D, Qp], kt/vt [BH, D, Mp].
+
+    Returns (dq^T [BH, D, Qp], dk^T [BH, D, Mp], dv^T [BH, D, Mp]).
+    """
+    from jax.experimental import pallas as pl
+
+    bh, d, qp = qt.shape
+    mp = kt.shape[-1]
+    scale = 1.0 / np.sqrt(d)
+    dqt, dkt, dvt = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale),
+        grid=(bh, qp // _QBLK_BWD),
+        in_specs=[
+            pl.BlockSpec((1, _QBLK_BWD, mp), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, d, _QBLK_BWD), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, d, _QBLK_BWD), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, d, mp), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, d, mp), lambda i, j: (i, 0, 0)),
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, d, qp), qt.dtype),
+            jax.ShapeDtypeStruct((bh, d, mp), kt.dtype),
+            jax.ShapeDtypeStruct((bh, d, mp), vt.dtype),
+        ),
+        out_specs=(
+            pl.BlockSpec((1, d, _QBLK_BWD), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, d, mp), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, d, mp), lambda i, j: (i, 0, 0)),
+        ),
+        # fp32 [QB, Mp] temps put one program a hair over the default
+        # 16 MB scoped-VMEM budget; raise it (v5e VMEM is far larger).
+        compiler_params=None if interpret else _bwd_compiler_params(),
+        interpret=interpret,
+    )(p, dot_, qt, kt, vt)
+    return dqt, dkt, dvt
 
 
 def _reference_attention(query, keys, values, key_mask, num_heads):
@@ -195,26 +296,31 @@ def _fused_bwd(num_heads, res, ct):
         )
         return *vjp(ct.astype(dt)), None
 
-    # p: [BH, Qp, Mp] saved attention weights (bf16). Plain-XLA softmax
-    # VJP — no max-reduce, measured fast at this shape.
-    qh = _split_heads(query, h)
-    kh = _split_heads(keys, h)
-    vh = _split_heads(values, h)
-    doh = _split_heads(ct, h)  # [BH, Q, D]
-    pq = p[:, :tq, :tm].astype(jnp.float32)  # [BH, Q, M]
-
-    dv = jnp.einsum("bqm,bqd->bmd", pq, doh.astype(jnp.float32))
-    dp = jnp.einsum("bqd,bmd->bqm", doh.astype(jnp.float32), vh.astype(jnp.float32))
-    ds = pq * (dp - jnp.sum(pq * dp, axis=-1, keepdims=True))  # softmax VJP
-    # masked (and all-masked) positions have p == 0 => ds == 0 there, so
+    # p: [BH, Qp, Mp] saved attention weights. Softmax-VJP as a second
+    # Pallas kernel: dp/ds stay in VMEM (the XLA einsum chain streams two
+    # [BH, Q, M] fp32 tensors through HBM — ~25 ms at the flagship shape).
+    # Masked (and all-masked) positions have p == 0 => ds == 0 there, so
     # the mask needs no separate handling.
-    dq = jnp.einsum("bqm,bmd->bqd", ds, kh.astype(jnp.float32)) * scale
-    dk = jnp.einsum("bqm,bqd->bmd", ds, qh.astype(jnp.float32)) * scale
+    qp, mp = p.shape[1], p.shape[2]
+    dtt = p.dtype
+
+    def to_t(x, length, pad_to):  # [B, T, C] -> [BH, D, pad_to]
+        xt = jnp.swapaxes(_split_heads(x.astype(dtt), h), 1, 2)
+        return jnp.pad(xt, ((0, 0), (0, 0), (0, pad_to - length)))
+
+    qt = to_t(query, tq, qp)
+    kt = to_t(keys, tm, mp)
+    vt = to_t(values, tm, mp)
+    dot_ = to_t(ct, tq, qp)
+
+    # interpret mode off-TPU: lets the kernel-residual path run (and be
+    # parity-tested) on CPU.
+    dqt, dkt, dvt = _attn_bwd_call(p, dot_, qt, kt, vt, interpret=not _use_pallas())
 
     return (
-        _merge_heads(dq, b).astype(query.dtype),
-        _merge_heads(dk, b).astype(keys.dtype),
-        _merge_heads(dv, b).astype(values.dtype),
+        _merge_heads(jnp.swapaxes(dqt, 1, 2)[:, :tq], b).astype(query.dtype),
+        _merge_heads(jnp.swapaxes(dkt, 1, 2)[:, :tm], b).astype(keys.dtype),
+        _merge_heads(jnp.swapaxes(dvt, 1, 2)[:, :tm], b).astype(values.dtype),
         None,
     )
 
