@@ -219,7 +219,9 @@ def config4():
     opt = make_optimizer(accumulate_grad_batches=1)
     state = create_train_state(model, opt, jax.random.PRNGKey(0), (1, 1, T))
     step = make_indexed_train_step(
-        model, opt, jnp.asarray(corpus), donate=False
+        model, opt, jnp.asarray(corpus),
+        compute_dtype=jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32,
+        donate=False,
     )
 
     temp = anneal_temperature(0)

@@ -437,3 +437,35 @@ def test_invalid_sampler_rejected(tables):
             {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
             jnp.zeros((1, 1, 4096)), 1.0, jax.random.PRNGKey(2), True,
         )
+
+
+def test_bf16_policy_survives_strong_f32_temperature():
+    """anneal_temperature returns a strongly-typed f32 scalar; dividing by
+    it used to silently promote the sampled probs — and every downstream
+    consumer (embeddings, SCCN, decoder, attention) — to f32 under the
+    bf16 compute policy. The samplers must keep the logits dtype."""
+    import jax.numpy as jnp
+
+    from topo_audio_autoencoder_tpu.training import anneal_temperature
+    from topo_audio_autoencoder_tpu.training.train_step import _cast_tree
+
+    model = AudioAutoencoder.create(
+        num_vertices=6, num_bands=4, sccn_hidden_dim=16, n_sccn_layers=1
+    )
+    x32 = jnp.zeros((1, 1, 2048), jnp.float32)
+    params = model.jit_init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x32, 1.0, jax.random.PRNGKey(2), True,
+    )
+    cast = _cast_tree(params, jnp.bfloat16)
+    temp = anneal_temperature(3)
+    assert jnp.asarray(temp).dtype == jnp.float32  # the hazardous input
+    for sampler, hard in (("gumbel", False), ("gumbel", True), ("hard_concrete", False)):
+        m = model.replace(sampler=sampler, hard=hard) if hasattr(model, "replace") else model
+        enc = m.apply(
+            cast, x32.astype(jnp.bfloat16), temp, jax.random.PRNGKey(3), True,
+            rngs={"dropout": jax.random.PRNGKey(4)},
+            method=lambda mm, a, t, r, tr: mm.encode(a, t, r, tr),
+        )
+        assert enc.probs.vertices.dtype == jnp.bfloat16, (sampler, hard)
+        assert enc.embeddings[0].dtype == jnp.bfloat16, (sampler, hard)

@@ -214,7 +214,9 @@ class AudioEncoder(nn.Module):
                     biased, sample_rng, temperature, training=train
                 )
         elif self.hard:
-            probs_all = jax.nn.sigmoid(biased / temperature)
+            probs_all = jax.nn.sigmoid(
+                biased / jnp.asarray(temperature).astype(biased.dtype)
+            )
         elif self.use_fused_sampler and train and sample_rng is not None:
             from ..ops.pallas_kernels import binary_gumbel_fused_diff
 

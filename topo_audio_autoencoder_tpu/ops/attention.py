@@ -93,6 +93,9 @@ def _attn_fwd_call(qh, kth, vh, maskp, interpret=False):
             pl.BlockSpec((1, _QBLK, d), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, _QBLK, mp), lambda i, j: (i, j, 0)),
         ),
+        # In f32 (no bf16 policy) one program's buffers hit 16.12M — a
+        # hair over the default 16M scoped-VMEM cap; raise it.
+        compiler_params=None if interpret else _bwd_compiler_params(),
         interpret=interpret,
     )(qh, kth, vh, maskp)
     return out, p

@@ -67,6 +67,11 @@ def binary_gumbel(
     if not training:
         return (logits > 0.5).astype(logits.dtype)
     noise = _logistic_noise(key, logits.shape, logits.dtype)
+    # Compute in the logits dtype: a strongly-typed f32 temperature (e.g.
+    # anneal_temperature's output) would otherwise silently promote the
+    # probs — and every downstream consumer (embeddings, SCCN, decoder)
+    # — to f32 under a bf16 policy (measured: the whole decode ran f32).
+    temperature = jnp.asarray(temperature).astype(logits.dtype)
     return jax.nn.sigmoid((2.0 * logits - 1.0 + noise) / temperature)
 
 
@@ -96,6 +101,9 @@ def hard_concrete(
     g, z_ = params.gamma, params.zeta
     if training:
         noise = _logistic_noise(key, log_alpha.shape, log_alpha.dtype)
+        # See binary_gumbel: keep the compute dtype, don't let a strong
+        # f32 temperature promote the probs (and all their consumers).
+        temperature = jnp.asarray(temperature).astype(log_alpha.dtype)
         s = jax.nn.sigmoid((noise + log_alpha) / temperature)
     else:
         s = jax.nn.sigmoid(log_alpha)

@@ -263,7 +263,7 @@ def make_indexed_train_step(
     """
     base = make_train_step(
         model, optimizer, weights, compute_dtype, with_grad_norms,
-        donate=False,
+        donate=donate,
     )
     # The corpus is a jit *argument*, not a closed-over constant: baking
     # tens of MB into the HLO bloats (de)serialization and the compile
@@ -277,12 +277,18 @@ def make_indexed_train_step(
     else:
         corpus_dev = jax.device_put(jnp.asarray(corpus, jnp.float32))
 
-    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
-    def _step(state: TrainState, corpus, idxs, temperature, rng):
-        batch = corpus[idxs][:, :, None, :]  # [B, G, 1, T]
-        return base(state, batch, temperature, rng)
+    # The gather is its own (tiny) jit rather than fused into the train
+    # step: the one-program form at b=128 with the Pallas attention
+    # kernels crashes the remote-TPU AOT compile helper (subprocess exit
+    # 1; each half compiles fine alone — measured round 2). The gathered
+    # batch stays on device, so the split costs one extra dispatch and no
+    # host traffic; under DP the sharded idxs make the gather output
+    # batch-sharded while the replicated corpus gathers locally per chip.
+    @jax.jit
+    def _gather(corpus, idxs):
+        return corpus[idxs][:, :, None, :]  # [B, G, 1, T]
 
     def indexed_step(state: TrainState, idxs, temperature, rng):
-        return _step(state, corpus_dev, idxs, temperature, rng)
+        return base(state, _gather(corpus_dev, idxs), temperature, rng)
 
     return indexed_step
