@@ -267,9 +267,11 @@ def test_fused_attention_matches_reference(rng):
     kth = jnp.pad(
         jnp.swapaxes(_split_heads(kx, h), 1, 2), ((0, 0), (0, 0), (0, mp - m))
     )
-    vh = jnp.pad(_split_heads(vx, h), ((0, 0), (0, mp - m), (0, 0)))
+    vth = jnp.pad(
+        jnp.swapaxes(_split_heads(vx, h), 1, 2), ((0, 0), (0, 0), (0, mp - m))
+    )
     maskp = jnp.pad(mask.astype(jnp.float32), ((0, 0), (0, mp - m)))[:, None, :]
-    out, p = _attn_fwd_call(qh, kth, vh, maskp, interpret=True)
+    out, p = _attn_fwd_call(qh, kth, vth, maskp, interpret=True)
 
     from topo_audio_autoencoder_tpu.ops.attention import _merge_heads
 
@@ -318,7 +320,7 @@ def test_fused_attention_bwd_formula_matches_autodiff(rng):
         _split_heads,
     )
 
-    qx, kx, vx, mask = _attn_shapes(rng, b=2, q=13, m=29, c=16)
+    qx, kx, vx, mask = _attn_shapes(rng, b=2, q=150, m=29, c=16)
     h = 4
     b, q, c = qx.shape
     m = kx.shape[1]
@@ -327,9 +329,11 @@ def test_fused_attention_bwd_formula_matches_autodiff(rng):
     kth = jnp.pad(
         jnp.swapaxes(_split_heads(kx, h), 1, 2), ((0, 0), (0, 0), (0, mp - m))
     )
-    vh = jnp.pad(_split_heads(vx, h), ((0, 0), (0, mp - m), (0, 0)))
+    vth = jnp.pad(
+        jnp.swapaxes(_split_heads(vx, h), 1, 2), ((0, 0), (0, 0), (0, mp - m))
+    )
     maskp = jnp.pad(mask.astype(jnp.float32), ((0, 0), (0, mp - m)))[:, None, :]
-    out, p = _attn_fwd_call(qh, kth, vh, maskp, interpret=True)
+    out, p = _attn_fwd_call(qh, kth, vth, maskp, interpret=True)
 
     ct = jnp.asarray(rng.standard_normal((b, q, c)), jnp.float32)
     dq, dk, dv, dm = _fused_bwd(h, (qx, kx, vx, mask, p), ct)

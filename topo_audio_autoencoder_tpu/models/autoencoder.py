@@ -45,7 +45,7 @@ class AudioAutoencoder(nn.Module):
     dropout: float = 0.1
     n_sccn_layers: int = 6
     use_jumping_knowledge: bool = False
-    use_fused_sampler: bool = False
+    use_fused_sampler: bool = True
 
     @classmethod
     def create(
@@ -62,7 +62,7 @@ class AudioAutoencoder(nn.Module):
         pqmf_attenuation: float = 100.0,
         max_rank: int = 3,
         use_jumping_knowledge: bool = False,
-        use_fused_sampler: bool = False,
+        use_fused_sampler: bool = True,
     ) -> "AudioAutoencoder":
         """Build tables + filterbank host-side once (audio2complex.py:18-38).
 

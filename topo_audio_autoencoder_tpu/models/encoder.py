@@ -108,7 +108,7 @@ class AudioEncoder(nn.Module):
     # On TPU, run the stochastic relaxation as one fused Pallas kernel
     # (on-chip PRNG; differentiable via closed-form custom VJP). Falls
     # back to the pure-JAX sampler on other backends.
-    use_fused_sampler: bool = False
+    use_fused_sampler: bool = True
 
     def setup(self):
         if self.sampler not in ("gumbel", "hard_concrete"):

@@ -39,18 +39,27 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-_QBLK = 128
+# The q-block adapts to the memory-axis length: per-program VMEM scales
+# as qblk*Mp (fp32 score/exp temps + bf16 weights), and the flagship
+# n=20 shape (Mp=6272, qblk=128) already sits near the budget — n=32's
+# Mp=41472 needs qblk 32/16. Budget chosen so the worst program stays
+# well under the raised 64 MB scoped-VMEM cap.
+def _pick_qblk(mp: int, bytes_per_qm: int, budget: int = 24 * 1024 * 1024) -> int:
+    for qb in (128, 64, 32, 16, 8):
+        if mp * qb * bytes_per_qm <= budget or qb == 8:
+            return qb
+    return 8
 
 
-def _attn_kernel(q_ref, kt_ref, v_ref, mask_ref, out_ref, p_ref, *, scale):
+def _attn_kernel(q_ref, kt_ref, vt_ref, mask_ref, out_ref, p_ref, *, scale):
     """One (batch*head, q-block) program: full-M softmax in VMEM."""
-    q = q_ref[0]  # [QBLK, D] bf16
+    q = q_ref[0]  # [QB, D] bf16
     kt = kt_ref[0]  # [D, Mp]
-    v = v_ref[0]  # [Mp, D]
+    vt = vt_ref[0]  # [D, Mp] (transposed: [Mp, D] would lane-pad 8x)
     mask = mask_ref[0]  # [1, Mp] float32 {0,1}
     s = jax.lax.dot_general(
         q, kt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [QBLK, Mp] fp32
+    )  # [QB, Mp] fp32
     s = s * scale
     s = jnp.where(mask > 0.0, s, -1e9)
     m = jnp.max(s, axis=-1, keepdims=True)
@@ -59,15 +68,17 @@ def _attn_kernel(q_ref, kt_ref, v_ref, mask_ref, out_ref, p_ref, *, scale):
     # All-masked memory: uniform e over -1e9 rows is garbage; zero it.
     valid = (jnp.sum(mask) > 0.0).astype(jnp.float32)
     p = (e / denom) * valid
-    p_bf = p.astype(v.dtype)
-    o = jnp.dot(p_bf, v, preferred_element_type=jnp.float32)
+    p_bf = p.astype(vt.dtype)
+    o = jax.lax.dot_general(
+        p_bf, vt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [QB, D]
     out_ref[0] = o.astype(out_ref.dtype)
     p_ref[0] = p_bf
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _attn_fwd_call(qh, kth, vh, maskp, interpret=False):
-    """qh [BH, Qp, D], kth [BH, D, Mp], vh [BH, Mp, D], maskp [B, 1, Mp]."""
+def _attn_fwd_call(qh, kth, vth, maskp, interpret=False):
+    """qh [BH, Qp, D], kth/vth [BH, D, Mp], maskp [B, 1, Mp]."""
     from jax.experimental import pallas as pl
 
     bh, qp, d = qh.shape
@@ -75,14 +86,15 @@ def _attn_fwd_call(qh, kth, vh, maskp, interpret=False):
     b = maskp.shape[0]
     h = bh // b
     scale = 1.0 / np.sqrt(d)
-    grid = (bh, qp // _QBLK)
+    qb = _pick_qblk(mp, 12)  # s + e fp32 (8B) + p bf16 in+out (4B) per q*m
+    grid = (bh, qp // qb)
     out, p = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, _QBLK, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, qb, d), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, d, mp), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, mp, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, d, mp), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, 1, mp), lambda i, j: (i // h, 0, 0)),
         ],
         out_shape=(
@@ -90,27 +102,24 @@ def _attn_fwd_call(qh, kth, vh, maskp, interpret=False):
             jax.ShapeDtypeStruct((bh, qp, mp), qh.dtype),
         ),
         out_specs=(
-            pl.BlockSpec((1, _QBLK, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, _QBLK, mp), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, qb, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, qb, mp), lambda i, j: (i, j, 0)),
         ),
         # In f32 (no bf16 policy) one program's buffers hit 16.12M — a
         # hair over the default 16M scoped-VMEM cap; raise it.
-        compiler_params=None if interpret else _bwd_compiler_params(),
+        compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
-    )(qh, kth, vh, maskp)
+    )(qh, kth, vth, maskp)
     return out, p
 
 
-_QBLK_BWD = 128
-
-
-def _bwd_compiler_params():
+def _compiler_params():
     from jax.experimental.pallas import tpu as pltpu
 
     return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
-def _attn_bwd_kernel(p_ref, dot_ref, qt_ref, kt_ref, vt_ref, dqt_ref, dkt_ref, dvt_ref, *, scale):
+def _attn_bwd_kernel(p_ref, dot_ref, qt_ref, kt_ref, vt_ref, dqt_ref, dkt_ref, dvt_ref, *, scale, qb):
     """One (batch*head, q-block) program: softmax-VJP in VMEM.
 
     The XLA equivalent materializes dp and ds ([BH, Q, M] fp32, ~3 GB at
@@ -120,13 +129,20 @@ def _attn_bwd_kernel(p_ref, dot_ref, qt_ref, kt_ref, vt_ref, dqt_ref, dkt_ref, d
 
     All [*, D] tensors travel TRANSPOSED as [D, *]: with D=16 the minor
     dim would lane-pad 8x (a [Mp, 16] bf16 buffer costs 1.6 MB instead of
-    0.2), which blew the ~16 MB scoped-VMEM budget in the [Mp, D] layout.
+    0.2), which blew the scoped-VMEM budget in the [Mp, D] layout. The
+    [D, Qp] arrays arrive as FULL-Q blocks (their lane dim must be
+    128-aligned, which a q-block < 128 isn't) and the q-slice happens
+    in-kernel with a dynamic slice.
     """
     from jax.experimental import pallas as pl
 
+    j = pl.program_id(1)
     p = p_ref[0]  # [QB, Mp] bf16 saved attention weights
-    dot_ = dot_ref[0]  # [D, QB]
-    qt = qt_ref[0]  # [D, QB]
+    # The [D, Qp] arrays arrive pre-reshaped to [BH, nqb, D, QB] so the
+    # q-block is a whole trailing dim (lane-dim dynamic slices must be
+    # 128-aligned, which a q-block < 128 isn't).
+    dot_ = dot_ref[0, 0]  # [D, QB]
+    qt = qt_ref[0, 0]  # [D, QB]
     kt = kt_ref[0]  # [D, Mp]
     vt = vt_ref[0]  # [D, Mp]
     f32 = jnp.float32
@@ -149,14 +165,14 @@ def _attn_bwd_kernel(p_ref, dot_ref, qt_ref, kt_ref, vt_ref, dqt_ref, dkt_ref, d
     dkt = jax.lax.dot_general(
         qt, ds_b, (((1,), (0,)), ((), ())), preferred_element_type=f32
     )
-    dqt_ref[0] = (dqt * scale).astype(dqt_ref.dtype)
+    dqt_ref[0, 0] = (dqt * scale).astype(dqt_ref.dtype)
 
-    @pl.when(pl.program_id(1) == 0)
+    @pl.when(j == 0)
     def _init():
         dkt_ref[0] = (dkt * scale).astype(dkt_ref.dtype)
         dvt_ref[0] = dvt.astype(dvt_ref.dtype)
 
-    @pl.when(pl.program_id(1) > 0)
+    @pl.when(j > 0)
     def _accum():
         dkt_ref[0] += (dkt * scale).astype(dkt_ref.dtype)
         dvt_ref[0] += dvt.astype(dvt_ref.dtype)
@@ -173,31 +189,38 @@ def _attn_bwd_call(p, dot_, qt, kt, vt, interpret=False):
     bh, d, qp = qt.shape
     mp = kt.shape[-1]
     scale = 1.0 / np.sqrt(d)
-    dqt, dkt, dvt = pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, scale=scale),
-        grid=(bh, qp // _QBLK_BWD),
+    qb = _pick_qblk(mp, 16)  # dp + ds fp32 + p + ds_b bf16 per q*m
+    nqb = qp // qb
+
+    def to_blocks(x):  # [BH, D, Qp] -> [BH, nqb, D, qb]
+        return jnp.swapaxes(x.reshape(bh, d, nqb, qb), 1, 2)
+
+    dqt4, dkt, dvt = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale, qb=qb),
+        grid=(bh, nqb),
         in_specs=[
-            pl.BlockSpec((1, _QBLK_BWD, mp), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, d, _QBLK_BWD), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, d, _QBLK_BWD), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, qb, mp), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, d, qb), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, d, qb), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, d, mp), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, d, mp), lambda i, j: (i, 0, 0)),
         ],
         out_shape=(
-            jax.ShapeDtypeStruct((bh, d, qp), qt.dtype),
+            jax.ShapeDtypeStruct((bh, nqb, d, qb), qt.dtype),
             jax.ShapeDtypeStruct((bh, d, mp), kt.dtype),
             jax.ShapeDtypeStruct((bh, d, mp), vt.dtype),
         ),
         out_specs=(
-            pl.BlockSpec((1, d, _QBLK_BWD), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, 1, d, qb), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, d, mp), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, d, mp), lambda i, j: (i, 0, 0)),
         ),
         # fp32 [QB, Mp] temps put one program a hair over the default
         # 16 MB scoped-VMEM budget; raise it (v5e VMEM is far larger).
-        compiler_params=None if interpret else _bwd_compiler_params(),
+        compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
-    )(p, dot_, qt, kt, vt)
+    )(p, to_blocks(dot_), to_blocks(qt), kt, vt)
+    dqt = jnp.swapaxes(dqt4, 1, 2).reshape(bh, d, qp)
     return dqt, dkt, dvt
 
 
@@ -266,17 +289,19 @@ def _fused_fwd(query, keys, values, key_mask, num_heads):
     b, tq, c = query.shape
     tm = keys.shape[1]
     h, d = num_heads, c // num_heads
-    qp, mp = _round_up(tq, _QBLK), _round_up(tm, 128)
+    # qp is 128-aligned (the lcm of every adaptive q-block choice, and
+    # the lane alignment the backward's [D, Qp] blocks require).
+    qp, mp = _round_up(tq, 128), _round_up(tm, 128)
 
     qh = _split_heads(query.astype(dt), h)  # [BH, Q, D]
     kh = _split_heads(keys.astype(dt), h)
     vh = _split_heads(values.astype(dt), h)
     qh = jnp.pad(qh, ((0, 0), (0, qp - tq), (0, 0)))
     kth = jnp.pad(jnp.swapaxes(kh, 1, 2), ((0, 0), (0, 0), (0, mp - tm)))
-    vh = jnp.pad(vh, ((0, 0), (0, mp - tm), (0, 0)))
+    vth = jnp.pad(jnp.swapaxes(vh, 1, 2), ((0, 0), (0, 0), (0, mp - tm)))
     maskp = jnp.pad(key_mask.astype(jnp.float32), ((0, 0), (0, mp - tm)))[:, None, :]
 
-    out, p = _attn_fwd_call(qh, kth, vh, maskp)
+    out, p = _attn_fwd_call(qh, kth, vth, maskp)
     out = _merge_heads(out[:, :tq], b)
     return out, (query, keys, values, key_mask, p)
 

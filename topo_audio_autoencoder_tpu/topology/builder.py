@@ -156,6 +156,30 @@ class SimplicialOperators(NamedTuple):
         )
 
 
+# Above this many elements a dense membership matrix is built IN-GRAPH
+# from its [S, k] face-index table (a scatter of k ones per row) instead
+# of being baked into the HLO as a constant: at n=32 the t2tt matrix is
+# [35960, 4960] (~713 MB f32) — the serialized program blows the remote
+# compile transport (HTTP 413) and bloats every compile cache. The
+# scatter runs once per step (XLA CSEs the shared expression) and costs
+# ~the matrix's HBM write.
+_MAX_CONST_ELEMS = 16 * 1024 * 1024
+
+
+def _membership_matrix(
+    dense: "np.ndarray", face_idx: "np.ndarray", num_faces: int, dt
+) -> jnp.ndarray:
+    if dense.size <= _MAX_CONST_ELEMS:
+        return jnp.asarray(dense, dtype=dt)
+    s = face_idx.shape[0]
+    rows = jnp.arange(s)[:, None]
+    return (
+        jnp.zeros((s, num_faces), dt)
+        .at[rows, jnp.asarray(face_idx)]
+        .set(jnp.ones((), dt))
+    )
+
+
 def build_operators(
     probs: RectifiedProbs, tables: ComplexTables, masks: tuple | None = None
 ) -> SimplicialOperators:
@@ -166,7 +190,12 @@ def build_operators(
     """
     dt = probs.edges.dtype
     memberships = tuple(
-        jnp.asarray(m, dtype=dt) for m in (tables.v2e, tables.e2t, tables.t2tt)
+        _membership_matrix(dense, idx, nf, dt)
+        for dense, idx, nf in (
+            (tables.v2e, tables.edges, tables.num_vertices),
+            (tables.e2t, tables.tri_edges, tables.num_edges),
+            (tables.t2tt, tables.tet_tris, tables.num_triangles),
+        )
     )
     if masks is None:
         masks = tuple((p > 0).astype(dt) for p in probs.ranks)

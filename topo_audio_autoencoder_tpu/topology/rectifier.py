@@ -102,9 +102,12 @@ def _rectify_rank_gather(
 
 # Contraction method for the rectifier's face-geomean products. "gather"
 # reads the k static face indices per simplex; "matmul" contracts against
-# the dense membership matrix (99.65% zeros at rank 3). Identical numerics;
-# the default is decided by TPU measurement (see benchmarks/RESULTS.md).
-DEFAULT_METHOD = "matmul"
+# the dense membership matrix (99.65% zeros at rank 3). Identical numerics
+# (parity-tested incl. gradients); measured on v5e at the flagship step:
+# gather 146.5 ms vs matmul 156.5 ms (benchmarks/ab.py rectifier), and the
+# gather form carries only the tiny [S, k] index constants — no dense
+# [S, F] matrices in the HLO (required for n >= 32).
+DEFAULT_METHOD = "gather"
 
 
 def enforce_constraints(
