@@ -203,7 +203,9 @@ def _bg_bwd(training, res, ct):
     # logit(s)*T, so dT = -logit(s)/T * s(1-s)
     logit_s = jnp.log(s + 1e-12) - jnp.log1p(-s + 1e-12)
     dtemp = (ct * (-logit_s / temp) * s * (1.0 - s)).sum()
-    return (ct * ds, None, dtemp.astype(temp.dtype))
+    # the strong-f32 temp residual must not promote the logits cotangent
+    # (custom_vjp requires it in the primal dtype)
+    return ((ct * ds).astype(s.dtype), None, dtemp.astype(temp.dtype))
 
 
 binary_gumbel_fused_diff.defvjp(_bg_fwd, _bg_bwd)
@@ -235,7 +237,7 @@ def _hc_bwd(training, res, ct):
         if training
         else jnp.zeros((), temp.dtype)
     )
-    return (ct * dz, None, dtemp.astype(temp.dtype))
+    return ((ct * dz).astype(z.dtype), None, dtemp.astype(temp.dtype))
 
 
 hard_concrete_fused_diff.defvjp(_hc_fwd, _hc_bwd)
