@@ -114,13 +114,18 @@ def main() -> None:
         return wav, rec
 
     # --- stage 2: vmapped 8-combo grid tune ---
+    # Tune at a reduced batch: the whole grid trains as one vmap axis, so
+    # HBM holds 8x one step's activations — b=32 G=12 x8 OOMs a v5e chip.
     t0 = time.perf_counter()
     grid = {
         "encoder_lr": [1e-3, 5e-4],
         "decoder_lr": [1e-4, 5e-5],
         "complexity_penalty": [0.05, 0.1],
     }
+    full_batch = trainer.cfg.batch_size
+    trainer.cfg.batch_size = min(8, full_batch)
     best = trainer.tune_hyperparameters_vmapped(grid)
+    trainer.cfg.batch_size = full_batch
     emit(stage="tune", best=best, seconds=round(time.perf_counter() - t0, 2))
 
     # --- stage 3: full run with per-epoch probes ---

@@ -60,6 +60,15 @@ class VmappedGridTuner:
         compute_dtype=jnp.float32,
         weights: LossWeights = LossWeights(),
     ):
+        import dataclasses
+
+        # vmapping the whole grid over the train step can't lower the
+        # fused samplers' pallas_call (the scalar SMEM seed block has no
+        # batched block mapping); run the tuner with the pure-JAX
+        # samplers — the flag carries no params, so the winning combo's
+        # weights transfer to the fused-sampler production model as-is.
+        if model.use_fused_sampler:
+            model = dataclasses.replace(model, use_fused_sampler=False)
         self.model = model
         self.base_weights = weights
         self.tx = optax.chain(
