@@ -1,35 +1,67 @@
 """Benchmark harness: train-step throughput on the flagship config.
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+Prints ONE JSON line to stdout:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
 Headline metric: NSynth-shaped clips/sec/chip through the full jitted train
 step — full 20-vertex complex hierarchy, 4 s @ 16 kHz clips, contrastive
 G=3 stacks (anchor + positive + 1 negative; the smallest G with an active
-InfoNCE term). The dataset's default training stack is G=12
-(data/dataset.py ContrastiveConfig), so the same step is ALSO measured at
-G=12 and reported in the extra fields — the encoder runs on B*G waveforms,
-so G=12 clips/s is materially lower; both numbers are real, they answer
-different questions (per-clip step cost vs full-curriculum step cost).
+InfoNCE term).
 
-Extras ground the number in hardware terms (VERDICT r1 item 3):
-- flops_per_step: XLA-compiled FLOPs from cost_analysis() (fwd+bwd+opt)
-- tflops_per_sec and mfu vs the chip's bf16 peak (device_kind lookup)
+Driver-survivability design (round-2 postmortem: BENCH_r02 rc=124 twice —
+three sequential remote AOT compiles and JSON only at the very end):
+- The persistent compilation cache is enabled (same knobs as
+  tests/conftest.py) BEFORE jax initializes, so a warm run skips the
+  multi-minute remote compile entirely.
+- Exactly ONE compile on the measurement path: the train step is
+  AOT-compiled once via ``jit(...).lower(...).compile()`` and that same
+  executable provides both the timed calls and ``cost_analysis()`` FLOPs
+  (no second compile for MFU).
+- The headline JSON line is printed and flushed IMMEDIATELY after the G=3
+  measurement. Everything after it (the G=12 full-curriculum number, which
+  needs its own compile) runs behind a wall-clock guard and writes to
+  stderr + benchmarks/BENCH_extras.json — never a second stdout line, so a
+  timeout mid-extras still leaves a parseable result.
+
+Timing is chain-length-slope based (utils.chain_time): the state chain
+makes steps sequentially dependent, a terminal device->host scalar fetch
+forces true completion (``block_until_ready`` returns early over the
+remote-TPU tunnel — round-1 numbers timed dispatch, not compute), and the
+slope cancels the fixed dispatch+fetch round trip.
 
 vs_baseline is measured against the reference's CPU PyTorch throughput:
 the reference publishes no numbers (BASELINE.md), so the baseline is the
 measured torch-CPU proxy of the same compute graph
-(benchmarks/reference_proxy_torch.py): 1.82 clips/s fwd+bwd.
+(benchmarks/reference_proxy_torch.py): 1.82 clips/s fwd+bwd. The
+measurement replaces the reference's hot loop (reference trainer.py:272-310).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+T_START = time.time()
+# Wall-clock budget for OPTIONAL extras (the G=12 compile). The headline
+# is never gated on this; set BENCH_BUDGET_SECS=0 to skip extras entirely.
+EXTRAS_BUDGET_SECS = float(os.environ.get("BENCH_BUDGET_SECS", "300"))
+
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+# The axon site plugin configures jax programmatically at startup and can
+# beat env vars — re-apply the cache knobs through the config API too.
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 REF_CLIPS_PER_SEC = 1.818
 
@@ -55,33 +87,19 @@ def _peak_flops() -> float | None:
     return None
 
 
-def _compiled_flops(fn, *args) -> float | None:
-    """XLA's own FLOP count for the compiled step (cost_analysis)."""
-    try:
-        ca = jax.jit(fn).lower(*args).compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        return float(ca.get("flops", 0.0)) or None
-    except Exception:
-        return None
+def _log(msg: str) -> None:
+    print(f"[bench +{time.time() - T_START:6.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
-def _measure(train_step, state0, batch, temp, k1=5, k2=25):
-    """True sec/step via the chain-length slope (utils.chain_time): the
-    state chain makes steps sequentially dependent, the terminal scalar
-    fetch forces real completion, and the slope cancels dispatch/fetch
-    latency. (block_until_ready returns early over the remote-TPU tunnel —
-    round-1 numbers timed dispatch, not compute; see utils/profiling.py.)
-    """
+def _measure_compiled(compiled, state0, batch, temp, key, k1=5, k2=25):
+    """sec/step of an AOT-compiled step via the chain-length slope."""
     from topo_audio_autoencoder_tpu.utils import chain_time
-
-    rng = jax.random.PRNGKey(7)
 
     def make_step():
         carry = {"s": state0}
 
         def step(i):
-            carry["s"], metrics = train_step(carry["s"], batch, temp, rng)
+            carry["s"], metrics = compiled(carry["s"], batch, temp, key)
             return metrics["total_loss"]
 
         return step
@@ -108,6 +126,7 @@ def main() -> None:
     )
     on_tpu = jax.default_backend() != "cpu"
     optimizer = make_optimizer(accumulate_grad_batches=1)
+    _log("init params (jit_init)...")
     state = create_train_state(
         model, optimizer, jax.random.PRNGKey(0), (1, 1, t)
     )
@@ -118,56 +137,82 @@ def main() -> None:
         donate=False,
     )
     temp = jnp.asarray(1.0)
+    key = jax.random.PRNGKey(7)
     rng = np.random.default_rng(0)
 
-    # --- headline: G=3 (minimal active InfoNCE) ---
+    # --- headline: G=3 (minimal active InfoNCE), ONE compile ---
     batch3 = jnp.asarray(
         rng.standard_normal((batch_size, 3, 1, t), dtype=np.float32)
     )
-    dt3 = _measure(train_step, state, batch3, temp)
+    _log("compiling G=3 train step (AOT, persistent cache enabled)...")
+    compiled3 = train_step.lower(state, batch3, temp, key).compile()
+    _log("compiled; measuring...")
+    dt3 = _measure_compiled(compiled3, state, batch3, temp, key)
     clips3 = batch_size / dt3
 
-    flops = _compiled_flops(
-        lambda s, b, tp, r: train_step(s, b, tp, r),
-        state, batch3, temp, jax.random.PRNGKey(0),
-    )
+    # FLOPs from the SAME executable — no extra compile.
+    flops = None
+    try:
+        ca = compiled3.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception as e:  # headline must survive any extras failure
+        _log(f"cost_analysis unavailable: {e!r}")
     peak = _peak_flops() if on_tpu else None
     tflops = (flops / dt3 / 1e12) if flops else None
     mfu = (flops / dt3 / peak) if (flops and peak) else None
 
-    # --- full-curriculum stack: G=12 at the dataset's default, b=32
-    # (b=128*G12 = 1536 encodes/step overflows the remote compile helper) ---
-    b12 = 32
-    batch12 = jnp.asarray(
-        rng.standard_normal((b12, 12, 1, t), dtype=np.float32)
-    )
-    dt12 = _measure(train_step, state, batch12, temp, k1=3, k2=10)
-    clips12 = b12 / dt12
-
-    extras = {
+    headline = {
+        "metric": "train_clips_per_sec_per_chip",
+        "value": round(clips3, 3),
+        "unit": "clips/s",
+        "vs_baseline": round(clips3 / REF_CLIPS_PER_SEC, 2),
         "step_ms_b128_g3": round(dt3 * 1e3, 3),
-        "g12_clips_per_sec_b32": round(clips12, 1),
-        "g12_step_ms": round(dt12 * 1e3, 3),
     }
     if flops:
-        extras["flops_per_step"] = float(f"{flops:.4g}")
+        headline["flops_per_step"] = float(f"{flops:.4g}")
     if tflops:
-        extras["tflops_per_sec"] = round(tflops, 2)
+        headline["tflops_per_sec"] = round(tflops, 2)
     if mfu:
-        extras["mfu"] = round(mfu, 4)
-        extras["device_kind"] = jax.devices()[0].device_kind
+        headline["mfu"] = round(mfu, 4)
+        headline["device_kind"] = jax.devices()[0].device_kind
 
-    print(
-        json.dumps(
-            {
-                "metric": "train_clips_per_sec_per_chip",
-                "value": round(clips3, 3),
-                "unit": "clips/s",
-                "vs_baseline": round(clips3 / REF_CLIPS_PER_SEC, 2),
-                **extras,
-            }
+    # THE stdout line — printed before any optional work.
+    print(json.dumps(headline), flush=True)
+    _log(f"headline emitted: {clips3:.0f} clips/s ({dt3 * 1e3:.1f} ms/step)")
+
+    # --- optional extras: G=12 full-curriculum stack (its own compile) ---
+    elapsed = time.time() - T_START
+    if elapsed > EXTRAS_BUDGET_SECS:
+        _log(f"skipping extras (elapsed {elapsed:.0f}s > budget {EXTRAS_BUDGET_SECS:.0f}s)")
+        return
+    try:
+        b12 = 32
+        batch12 = jnp.asarray(
+            rng.standard_normal((b12, 12, 1, t), dtype=np.float32)
         )
-    )
+        _log("compiling G=12 step...")
+        compiled12 = train_step.lower(state, batch12, temp, key).compile()
+        dt12 = _measure_compiled(
+            compiled12, state, batch12, temp, key, k1=3, k2=10
+        )
+        extras = {
+            **headline,
+            "g12_clips_per_sec_b32": round(b12 / dt12, 1),
+            "g12_step_ms": round(dt12 * 1e3, 3),
+            "total_wallclock_s": round(time.time() - T_START, 1),
+        }
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "benchmarks",
+            "BENCH_extras.json",
+        )
+        with open(out_path, "w") as f:
+            json.dump(extras, f, indent=1)
+        _log(f"extras written to {out_path}: G=12 {b12 / dt12:.0f} clips/s")
+    except Exception as e:
+        _log(f"extras failed (headline already emitted): {e!r}")
 
 
 if __name__ == "__main__":

@@ -64,6 +64,11 @@ class TrainConfig:
     seed: int = 511990
     compute_dtype: str = "float32"
     n_devices: int | None = None  # data-parallel width; None = all
+    # Resume from <checkpoint_dir>/latest: skips the checkpoint-dir
+    # rotation and restores params/opt-state/metrics/curriculum/RNG
+    # (the reference always rotates, main.py:240-256; resume is a rebuild
+    # addition — see Trainer.train(resume=True)).
+    resume: bool = False
 
 
 @dataclass

@@ -113,11 +113,20 @@ class NSynthDataset:
             0, min(c.num_positive_neighbors, n_nb), size=len(idxs)
         )
         pos = self.neighbors[idxs, pos_choice]  # [B]
+        if neg_end <= neg_start:
+            # An empty window would silently substitute column 0 — each
+            # anchor's NEAREST neighbor — as every contrastive negative,
+            # poisoning the InfoNCE term. Fail loudly instead.
+            raise ValueError(
+                f"empty negative window [{neg_start}, {neg_end}): corpus too "
+                f"small for num_negative_samples={c.num_negative_samples} at "
+                f"offset {self.current_negative_offset}"
+            )
         neg_cols = np.arange(neg_start, neg_end)
         if len(neg_cols) < c.num_negative_samples:  # tiny-corpus edge pad
             neg_cols = np.pad(
                 neg_cols, (0, c.num_negative_samples - len(neg_cols)),
-                mode="edge" if len(neg_cols) else "constant",
+                mode="edge",
             )
         negs = self.neighbors[idxs[:, None], neg_cols[None, :]]  # [B, K]
         return np.concatenate(

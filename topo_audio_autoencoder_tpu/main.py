@@ -79,7 +79,13 @@ def prepare_data(cfg: Config):
 
 def main(argv: list[str] | None = None) -> None:
     cfg = Config.from_args(argv if argv is not None else sys.argv[1:])
-    checkpoint_dir = setup_checkpoint_dir(cfg.train.checkpoint_dir)
+    if cfg.train.resume:
+        # train.resume=true: keep the existing run directory intact and
+        # pick up from its 'latest' checkpoint instead of rotating it away.
+        checkpoint_dir = Path(cfg.train.checkpoint_dir)
+        checkpoint_dir.mkdir(parents=True, exist_ok=True)
+    else:
+        checkpoint_dir = setup_checkpoint_dir(cfg.train.checkpoint_dir)
 
     model = AudioAutoencoder.create(
         num_vertices=cfg.model.num_vertices,
@@ -132,7 +138,7 @@ def main(argv: list[str] | None = None) -> None:
         if cfg.run_tuning
         else None
     )
-    metrics = trainer.train(grid)
+    metrics = trainer.train(grid, resume=cfg.train.resume)
     print(f"best val loss {metrics.best_val_loss:.4f} @ epoch {metrics.best_epoch}")
 
 

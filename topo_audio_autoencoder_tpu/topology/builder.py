@@ -210,30 +210,29 @@ def same_rank_matmul(ops: SimplicialOperators, rank: int, x: jnp.ndarray) -> jnp
     x: [..., S_rank, C]. Equals the reference's dense
     ``adjacencies[rank] @ x`` with self-loops removed
     (complex_builder.py:62-70) — verified against the explicit construction
-    in tests/test_topology.py. Ranks 1..top-1 connect via shared cofaces
-    (complex_builder.py:62-63), the top rank via shared faces
-    (complex_builder.py:64); statically-empty coface ranks make A == 0.
+    in tests/test_topology.py. The convention is FIXED regardless of
+    truncation, matching ``dense_adjacency`` and the reference: ranks 1-2
+    connect via shared cofaces (complex_builder.py:62-63), rank 3 via
+    shared faces (complex_builder.py:64). A statically-empty coface rank
+    makes A == 0 naturally (the zero-size Gram product yields zeros),
+    exactly like the reference's explicit construction.
     """
     if rank == 0:
         return ops.adj0_matmul(x)
     if not 1 <= rank <= 3:
         raise ValueError(f"rank must be in 0..3, got {rank}")
-    top = max(r for r in range(4) if ops.probs[r].shape[-1] > 0)
-    if rank < top:
+    if rank < 3:
         # A_r = inc_{r+1} @ inc_{r+1}^T - D
         p = ops.probs[rank + 1]
         m = ops.memberships[rank]  # [S_{r+1}, S_r]
         gram_x = jnp.swapaxes(m, 0, 1) @ ((p * p)[..., None] * (m @ x))
         return gram_x - ops.gram_diag(rank, via_upper=True)[..., None] * x
-    if rank == top:
-        # A_top = inc_top^T @ inc_top - D
-        p = ops.probs[rank]
-        m = ops.memberships[rank - 1]  # [S_r, S_{r-1}]
-        px = p[..., None] * x
-        gram_x = p[..., None] * (m @ (jnp.swapaxes(m, 0, 1) @ px))
-        return gram_x - ops.gram_diag(rank, via_upper=False)[..., None] * x
-    # statically-empty rank
-    return jnp.zeros_like(x)
+    # A_3 = inc_3^T @ inc_3 - D
+    p = ops.probs[rank]
+    m = ops.memberships[rank - 1]  # [S_r, S_{r-1}]
+    px = p[..., None] * x
+    gram_x = p[..., None] * (m @ (jnp.swapaxes(m, 0, 1) @ px))
+    return gram_x - ops.gram_diag(rank, via_upper=False)[..., None] * x
 
 
 def dense_adjacency(ops: SimplicialOperators, rank: int) -> jnp.ndarray:

@@ -213,6 +213,85 @@ def make_train_step(
     return train_step
 
 
+def make_scan_train_step(train_step, donate: bool = True):
+    """Fuse K sequential train steps into ONE compiled program.
+
+    ``train_step`` is any (state, batch, temperature, rng) -> (state,
+    metrics) step (e.g. from ``make_train_step``; a jitted inner step
+    inlines under tracing). The returned function takes batches with a
+    leading scan axis — [K, B, G, 1, T] — and advances the state K times
+    inside a single ``lax.scan``: one dispatch instead of K. Per-step PRNG
+    semantics are IDENTICAL to the Python loop (keys derive from
+    (run key, state.step) inside the step, and the step counter is carried
+    through the scan), so a scanned epoch reproduces the per-step epoch.
+
+    Why: over a remote-TPU transport each dispatch costs ~100 ms of host
+    round-trip; at small batch sizes the hot loop becomes dispatch-bound.
+    The scan makes the whole segment one XLA program — the device runs
+    K steps back-to-back with zero host involvement. (The reference
+    dispatches per batch and blocks on loss.item() every step,
+    reference trainer.py:272-310.)
+
+    Metrics come back with a leading [K] axis on every leaf.
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def scan_steps(state: TrainState, batches, temperature, rng):
+        def body(st, batch):
+            return train_step(st, batch, temperature, rng)
+
+        return jax.lax.scan(body, state, batches)
+
+    return scan_steps
+
+
+def make_scan_indexed_train_step(
+    model: AudioAutoencoder,
+    optimizer: optax.GradientTransformation,
+    corpus: jnp.ndarray,  # [N, T] device-resident waveforms
+    weights: LossWeights = LossWeights(),
+    compute_dtype: jnp.dtype = jnp.float32,
+    with_grad_norms: bool = False,
+    donate: bool = True,
+    mesh=None,
+):
+    """Scanned variant of ``make_indexed_train_step``: takes [K, B, G]
+    int32 index matrices and runs K train steps in one dispatch, gathering
+    each step's batch from the HBM-resident corpus inside the scan body.
+
+    The gather lives INSIDE the one program here (unlike the split-jit
+    production step): the scan already amortizes compile helper pressure
+    over K steps, and at trainer batch sizes (B <= 32) the combined
+    program compiles fine — the b=128 split-jit workaround in
+    ``make_indexed_train_step`` is a bench-only concern.
+    """
+    base = make_train_step(
+        model, optimizer, weights, compute_dtype, with_grad_norms,
+        donate=False,
+    )
+    if mesh is not None:
+        from ..parallel import replicated
+
+        corpus_dev = jax.device_put(
+            jnp.asarray(corpus, jnp.float32), replicated(mesh)
+        )
+    else:
+        corpus_dev = jax.device_put(jnp.asarray(corpus, jnp.float32))
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def scan_steps(state: TrainState, idxs, temperature, rng, corpus):
+        def body(st, idx):  # idx: [B, G]
+            batch = corpus[idx][:, :, None, :]
+            return base(st, batch, temperature, rng)
+
+        return jax.lax.scan(body, state, idxs)
+
+    def scanned_step(state: TrainState, idxs, temperature, rng):
+        return scan_steps(state, idxs, temperature, rng, corpus_dev)
+
+    return scanned_step
+
+
 def make_eval_step(
     model: AudioAutoencoder,
     weights: LossWeights = LossWeights(),

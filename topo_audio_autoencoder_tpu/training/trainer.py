@@ -92,6 +92,12 @@ class TrainerConfig:
     # inserted by XLA over ICI. batch_size must divide the device count.
     data_parallel: bool = False
     n_devices: int | None = None  # DP width; None = all devices
+    # Fuse this many train steps into ONE compiled lax.scan dispatch
+    # (device_corpus only; 0/1 = per-step dispatch). Each dispatch over a
+    # remote-TPU transport costs ~100 ms of host round-trip, so small-batch
+    # epochs are dispatch-bound without this; a scanned segment runs K
+    # steps back-to-back on device with zero host involvement.
+    scan_steps: int = 0
 
 
 class Trainer:
@@ -150,6 +156,20 @@ class Trainer:
             l0_penalty=cfg.l0_penalty,
         )
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        self.scan_train_step = None
+        if cfg.device_corpus and cfg.scan_steps > 1:
+            from .train_step import make_scan_indexed_train_step
+
+            self.scan_train_step = make_scan_indexed_train_step(
+                self.model,
+                self.optimizer,
+                jnp.asarray(np.asarray(self.train_dataset.waveforms)),
+                weights,
+                compute_dtype=dtype,
+                with_grad_norms=cfg.with_grad_norms,
+                donate=False,
+                mesh=self.mesh,
+            )
         if cfg.device_corpus:
             self.train_step = make_indexed_train_step(
                 self.model,
@@ -233,8 +253,13 @@ class Trainer:
                     self._dump_audio(epoch, iteration, batch)
             if (
                 cfg.checkpoint_every_iters
+                and iteration > 0
                 and iteration % cfg.checkpoint_every_iters == 0
             ):
+                # iteration > 0: a cadence checkpoint at iteration 0 would
+                # force a full-state device->host sync at the top of EVERY
+                # epoch — hidden per-epoch stall in the async hot loop
+                # (the per-epoch 'latest' save already covers epoch starts).
                 self.save_checkpoint(
                     f"epoch_{epoch}_iter_{iteration}", sample_dir
                 )
@@ -358,6 +383,9 @@ class Trainer:
             ),
             epochs=cfg.tuning_epochs,
             seed=cfg.seed,
+            initial_temp=cfg.initial_temp,
+            min_temp=cfg.min_temp,
+            temp_decay=cfg.temp_decay,
         )
         best = result["best_params"]
         self.metrics.best_params = best
@@ -455,6 +483,13 @@ class Trainer:
         if self.state is None:
             self.state = self.init_state()
         self.state = ckpt.restore(name, template=self.state)
+        if self.mesh is not None:
+            # restore() returns host numpy arrays; under data parallelism
+            # the state must be re-replicated across the mesh exactly as
+            # init_state does, or the first DP step sees unsharded inputs.
+            from ..parallel import replicate
+
+            self.state = replicate(self.state, self.mesh)
         extra = ckpt.load_extra(name)
         if extra:
             self._build(

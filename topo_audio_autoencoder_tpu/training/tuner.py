@@ -185,13 +185,29 @@ class VmappedGridTuner:
         val_batches,  # iterable of [B, 1, T]
         epochs: int = 5,
         seed: int = 0,
+        initial_temp: float = 5.0,
+        min_temp: float = 0.1,
+        temp_decay: float = 0.95,
     ) -> dict:
-        """Train every combo simultaneously; returns best combo + curves."""
+        """Train every combo simultaneously; returns best combo + curves.
+
+        The Gumbel temperature anneals per epoch with the SAME schedule as
+        the production run (trainer temp args; reference trainer.py:264-269
+        anneals during tuning epochs too) — tuning at a fixed temperature
+        would rank combos under different sampling dynamics than the run
+        they seed.
+        """
+        from .train_step import anneal_temperature
+
         combos = _grid_combos(grid)
         state = None
         rng = jax.random.PRNGKey(seed)
         train_curve = []
         for epoch in range(epochs):
+            temp = jnp.asarray(
+                anneal_temperature(epoch, initial_temp, min_temp, temp_decay),
+                jnp.float32,
+            )
             for batch in train_batches(epoch):
                 batch = jnp.asarray(batch)
                 if state is None:
@@ -201,7 +217,7 @@ class VmappedGridTuner:
                 rng, sub = jax.random.split(rng)
                 step_rngs = jax.random.split(sub, len(combos))
                 state, losses = self.grid_step(
-                    state, batch, jnp.asarray(1.0), step_rngs
+                    state, batch, temp, step_rngs
                 )
                 train_curve.append(np.asarray(losses))
         val_losses = 0.0

@@ -73,9 +73,11 @@ def chain_time(make_step, k1: int = 5, k2: int = 25, warmup: int = 3) -> float:
     robust even where ``block_until_ready`` lies (see ``fetch_scalar``).
     """
     step = make_step()
+    out = None
     for i in range(warmup):
         out = step(i)
-    fetch_scalar(out)
+    if out is not None:  # warmup=0: nothing in flight to drain
+        fetch_scalar(out)
 
     def run(k):
         step = make_step()
