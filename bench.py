@@ -149,6 +149,7 @@ def main() -> None:
     _log("compiled; measuring...")
     dt3 = _measure_compiled(compiled3, state, batch3, temp, key)
     clips3 = batch_size / dt3
+    _log(f"measured: {dt3 * 1e3:.1f} ms/step; cost_analysis...")
 
     # FLOPs from the SAME executable — no extra compile.
     flops = None

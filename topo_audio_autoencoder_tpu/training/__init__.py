@@ -12,6 +12,8 @@ from .train_step import (
     make_optimizer,
     make_train_step,
     make_indexed_train_step,
+    make_scan_train_step,
+    make_scan_indexed_train_step,
 )
 from .trainer import Trainer, TrainerConfig
 from .tuner import GridState, VmappedGridTuner
@@ -30,6 +32,8 @@ __all__ = [
     "make_optimizer",
     "make_train_step",
     "make_indexed_train_step",
+    "make_scan_train_step",
+    "make_scan_indexed_train_step",
     "Trainer",
     "GridState",
     "VmappedGridTuner",

@@ -233,6 +233,8 @@ class Trainer:
         temp = anneal_temperature(
             epoch, cfg.initial_temp, cfg.min_temp, cfg.temp_decay
         )
+        if self.scan_train_step is not None:
+            return self._train_epoch_scanned(epoch, temp, sample_dir)
         make_iter = index_iterator if cfg.device_corpus else batch_iterator
         it = make_iter(
             self.train_dataset, cfg.batch_size, shuffle=True,
@@ -266,6 +268,74 @@ class Trainer:
         losses = [float(x) for x in jax.device_get(loss_refs)]
         self.metrics.iteration_losses.extend(losses)
         return sum(losses) / max(len(losses), 1)
+
+    def _train_epoch_scanned(self, epoch: int, temp, sample_dir) -> float:
+        """Epoch as a handful of scanned segments — one dispatch per
+        ``scan_steps`` train steps (see ``make_scan_indexed_train_step``).
+
+        Identical trajectory to the per-step loop (per-step keys derive
+        from (run key, step counter) inside the scan body; sampling from
+        (seed, epoch) on the host). Per-step metrics come back stacked and
+        are drained in one transfer at epoch end; log_every entries are
+        written from the drained stack, so the log stream is the same —
+        just written later. Segment boundaries carry the iteration-cadence
+        checkpoints.
+        """
+        cfg = self.cfg
+        idx_batches = list(
+            index_iterator(
+                self.train_dataset, cfg.batch_size, shuffle=True,
+                seed=cfg.seed, epoch=epoch,
+            )
+        )
+        if not idx_batches:
+            return 0.0
+        if cfg.dump_audio and sample_dir is None:
+            self._dump_audio(epoch, 0, idx_batches[0])
+        k = cfg.scan_steps
+        seg_refs = []
+        for s in range(0, len(idx_batches), k):
+            seg = np.stack(idx_batches[s : s + k])  # [k, B, G]
+            self.state, metrics = self.scan_train_step(
+                self.state, self._put_scan_batch(seg), temp, self.rng
+            )
+            seg_refs.append(metrics)
+            end = s + seg.shape[0]
+            if (
+                cfg.checkpoint_every_iters
+                and end < len(idx_batches)
+                and end // cfg.checkpoint_every_iters
+                > s // cfg.checkpoint_every_iters
+            ):
+                self.save_checkpoint(f"epoch_{epoch}_iter_{end}", sample_dir)
+        # ONE device->host drain for the whole epoch's stacked metrics.
+        host = jax.device_get(seg_refs)
+        step_after = int(self.state.step)
+        losses: list[float] = []
+        it = 0
+        total = sum(len(np.asarray(m["total_loss"])) for m in host)
+        for seg_m in host:
+            kk = len(np.asarray(seg_m["total_loss"]))
+            for j in range(kk):
+                if it % cfg.log_every == 0:
+                    self.writer.write(
+                        step_after - total + it + 1,
+                        jax.tree.map(lambda x: np.asarray(x)[j], seg_m),
+                    )
+                losses.append(float(np.asarray(seg_m["total_loss"])[j]))
+                it += 1
+        self.metrics.iteration_losses.extend(losses)
+        return sum(losses) / max(len(losses), 1)
+
+    def _put_scan_batch(self, seg):
+        """Place a [K, B, G] index segment; under DP shard the BATCH dim."""
+        if self.mesh is None:
+            return jnp.asarray(seg)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(
+            jnp.asarray(seg), NamedSharding(self.mesh, P(None, "data"))
+        )
 
     def validate(self, dataset: NSynthDataset | None = None) -> float:
         """Mean per-clip loss over the ENTIRE evaluation set (default: val).
