@@ -51,9 +51,20 @@ def main() -> None:
 
     quick = "--quick" in sys.argv
     n_train = _arg("--corpus", 128 if quick else 512)
-    max_epochs = _arg("--epochs", 8 if quick else 100)
+    max_epochs = _arg("--epochs", 8 if quick else 300)
+    patience_cfg = _arg("--patience", 4 if quick else 40)
+    # Round-3 diagnosis (benchmarks/overfit_probe.py): the model overfits a
+    # fixed batch at ~30% spectral drop in 2k updates at ANY temperature,
+    # so round 2's marginal quality run (best val at epoch 8 of 29) was
+    # optimization-starved: b=32 on 512 clips = 16 steps/epoch x 29 epochs
+    # = 464 updates, most applied to a decoder at lr 1e-4. Fix: halve the
+    # batch (2x updates/epoch), let the LR grid reach 1e-3 for the
+    # decoder, and raise the epoch/patience budget so annealing + patience
+    # don't kill the run before the update count is out of the probe's
+    # warm-up regime.
     t = 16000 if quick else 64000
-    batch = 8 if quick else 32
+    batch = 8 if quick else 16
+    scan_steps = _arg("--scan", 0 if quick else 16)
     out = Path(_arg("--out", "benchmarks/quality_run", str))
     out.mkdir(parents=True, exist_ok=True)
 
@@ -81,12 +92,13 @@ def main() -> None:
             checkpoint_dir=str(out / "checkpoints"),
             batch_size=batch,
             max_epochs=max_epochs,
-            patience=20,
+            patience=patience_cfg,
             tuning_epochs=2 if quick else 5,
             compute_dtype="bfloat16" if on_tpu else "float32",
             dump_audio=False,  # probe dumps below instead
             checkpoint_every_iters=0,
             log_every=10,
+            scan_steps=scan_steps,
         ),
     )
     trainer.state = trainer.init_state()
@@ -94,16 +106,33 @@ def main() -> None:
     # fixed probe batch for per-epoch complex statistics + audio dumps
     probe = jnp.asarray(train_wavs[:4])[:, None, :]
 
+    from topo_audio_autoencoder_tpu.ops.stft import spectral_distance, stft_magnitude
+
     @jax.jit
     def probe_fwd(params, x):
         out_ = model.apply(params, x, 1.0, None, False)
-        return out_.waveform, tuple(m.sum(axis=-1) for m in out_.encoder_output.masks)
+        spec = spectral_distance(out_.waveform[:, 0], x[:, 0]).mean()
+        # Phase-blind SNR in the magnitude-STFT domain (the waveform SNR is
+        # meaningless under a magnitude-only objective: phase drifts freely).
+        sx = stft_magnitude(x[:, 0].astype(jnp.float32), 512)
+        sy = stft_magnitude(out_.waveform[:, 0].astype(jnp.float32), 512)
+        ssnr = 10.0 * jnp.log10(
+            jnp.sum(sx**2) / jnp.maximum(jnp.sum((sx - sy) ** 2), 1e-12)
+        )
+        return (
+            out_.waveform,
+            tuple(m.sum(axis=-1) for m in out_.encoder_output.masks),
+            spec,
+            ssnr,
+        )
 
     def complex_stats(epoch):
-        wav, counts = probe_fwd(trainer.state.params, probe)
+        wav, counts, spec, ssnr = probe_fwd(trainer.state.params, probe)
         counts = [np.asarray(c).mean() for c in counts]
         rec = {
             "epoch": epoch,
+            "probe_spectral": round(float(spec), 4),
+            "probe_spectral_snr_db": round(float(ssnr), 3),
             "active_vertices": round(float(counts[0]), 2),
             "active_edges": round(float(counts[1]), 2),
             "active_triangles": round(float(counts[2]), 2),
@@ -117,9 +146,13 @@ def main() -> None:
     # Tune at a reduced batch: the whole grid trains as one vmap axis, so
     # HBM holds 8x one step's activations — b=32 G=12 x8 OOMs a v5e chip.
     t0 = time.perf_counter()
+    # Grid deviates from the reference's (main.py:261-265: decoder_lr in
+    # {1e-4, 5e-5}) after the round-2 diagnosis: at a few hundred updates a
+    # 1e-4 decoder barely moves, and the overfit probe shows healthy descent
+    # at 1e-3. The reference grid's decoder ceiling is represented by 3e-4.
     grid = {
         "encoder_lr": [1e-3, 5e-4],
-        "decoder_lr": [1e-4, 5e-5],
+        "decoder_lr": [1e-3, 3e-4],
         "complexity_penalty": [0.05, 0.1],
     }
     full_batch = trainer.cfg.batch_size
@@ -161,7 +194,7 @@ def main() -> None:
         if patience >= cfg.patience:
             emit(stage="early_stop", epoch=epoch)
             break
-    wav_end, _ = complex_stats(epoch + 1000)
+    wav_end, _ = complex_stats("final")
     save_wav(out / "sample_epoch_end.wav", np.asarray(wav_end[0]), 16000)
     emit(
         stage="done",

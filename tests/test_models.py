@@ -141,21 +141,20 @@ def test_sccn_layer_matches_naive_messages(tables):
     scales = {k: p[f"scale_{k}"] for k in ("same", "low_to_high", "high_to_low")}
     for rank in range(4):
         msgs = []
-        w_s = p[f"same_rank_{rank}"]["kernel"]
+        w_s = p[f"same_rank_{rank}"]
         adj = dense_adjacency(ops, rank)
         msgs.append(adj @ (feats[rank] @ w_s) * scales["same"] + feats[rank])
         if rank < 3:
-            w_h = p[f"high_to_low_{rank}"]["kernel"]
+            w_h = p[f"high_to_low_{rank}"]
             inc = ops.incidence(rank + 1)
             msgs.append(inc @ (feats[rank + 1] @ w_h) * scales["high_to_low"] + feats[rank])
         if rank > 0:
-            w_l = p[f"low_to_high_{rank}"]["kernel"]
+            w_l = p[f"low_to_high_{rank}"]
             inc_t = jnp.swapaxes(ops.incidence(rank), -1, -2)
             msgs.append(inc_t @ (feats[rank - 1] @ w_l) * scales["low_to_high"] + feats[rank])
         stacked = jnp.stack(msgs)
-        ap = p[f"attention_{rank}"]
-        h = jax.nn.gelu(stacked @ ap["Dense_0"]["kernel"] + ap["Dense_0"]["bias"])
-        score = h @ ap["Dense_1"]["kernel"]
+        h = jax.nn.gelu(stacked @ p[f"attn_w1_{rank}"] + p[f"attn_b1_{rank}"])
+        score = h @ p[f"attn_w2_{rank}"]
         attn = jax.nn.softmax(score, axis=0)
         expected = (stacked * attn).sum(axis=0)
         np.testing.assert_allclose(
@@ -469,3 +468,24 @@ def test_bf16_policy_survives_strong_f32_temperature():
         )
         assert enc.probs.vertices.dtype == jnp.bfloat16, (sampler, hard)
         assert enc.embeddings[0].dtype == jnp.bfloat16, (sampler, hard)
+
+
+def test_sccn_layer_fused_flag_consistency(tables):
+    """fused_combine=True (jnp fallback off-TPU goes through the same
+    wrapper) and the explicit reference give identical layer outputs."""
+    key = jax.random.PRNGKey(77)
+    rect, ops, masks = _random_complex(tables, key, batch=1)
+    c = 8
+    feats = [
+        jax.random.normal(jax.random.PRNGKey(40 + r), (1, s, c))
+        for r, s in enumerate(tables.sizes)
+    ]
+    from topo_audio_autoencoder_tpu.models import GradientSCCNLayer
+
+    l_f = GradientSCCNLayer(channels=c, max_rank=3, fused_combine=True)
+    l_r = GradientSCCNLayer(channels=c, max_rank=3, fused_combine=False)
+    params = l_f.init(jax.random.PRNGKey(41), feats, ops, True)
+    out_f = l_f.apply(params, feats, ops, True)
+    out_r = l_r.apply(params, feats, ops, True)
+    for a, b_ in zip(out_f, out_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-6)

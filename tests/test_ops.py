@@ -347,3 +347,69 @@ def test_fused_attention_bwd_formula_matches_autodiff(rng):
     np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), atol=1e-4)
     np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), atol=1e-4)
     np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), atol=1e-4)
+
+
+# ---------------------------------------------------------------- sccn combine
+
+
+def _combine_inputs(rng, m=3, b=2, s=37, c=16):
+    car = jnp.asarray(rng.standard_normal((m, b, s, c)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((b, s, c)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((m, c, c)) * 0.3, jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((c, c)) * 0.3, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((c, 1)) * 0.3, jnp.float32)
+    return car, x, v, w1, b1, w2
+
+
+@pytest.mark.parametrize("m", [1, 2, 3])
+def test_message_combine_kernel_matches_reference(rng, m):
+    """Interpret-mode Pallas forward == jnp reference (incl. row padding)."""
+    from topo_audio_autoencoder_tpu.ops.sccn_combine import (
+        _flatten_pad,
+        _fwd_call,
+        message_combine_reference,
+    )
+
+    car, x, v, w1, b1, w2 = _combine_inputs(rng, m=m)
+    ref = message_combine_reference(car, x, v, w1, b1, w2)
+    mm, b, s, c = car.shape
+    car2, x2 = _flatten_pad(car, x)
+    y = _fwd_call(car2, x2, v, w1, b1, w2, interpret=True)
+    got = y[: b * s].reshape(b, s, c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("m", [1, 3])
+def test_message_combine_bwd_matches_autodiff(rng, m):
+    """Interpret-mode Pallas backward == autodiff of the jnp reference."""
+    from topo_audio_autoencoder_tpu.ops.sccn_combine import (
+        _bwd_call,
+        _flatten_pad,
+        message_combine_reference,
+    )
+
+    car, x, v, w1, b1, w2 = _combine_inputs(rng, m=m)
+    mm, b, s, c = car.shape
+    dy = jnp.asarray(rng.standard_normal((b, s, c)), jnp.float32)
+
+    _, vjp = jax.vjp(message_combine_reference, car, x, v, w1, b1, w2)
+    refs = vjp(dy)
+
+    car2, x2 = _flatten_pad(car, x)
+    dy2 = jnp.pad(dy.reshape(b * s, c), ((0, car2.shape[1] - b * s), (0, 0)))
+    dcar, dx, dv, dw1, db1, dw2 = _bwd_call(
+        car2, x2, v, w1, b1, w2, dy2, interpret=True
+    )
+    got = (
+        dcar[:, : b * s].reshape(mm, b, s, c),
+        dx[: b * s].reshape(b, s, c),
+        dv,
+        dw1,
+        db1.reshape(c),
+        dw2.reshape(c, 1),
+    )
+    for g, r, name in zip(got, refs, ["dcar", "dx", "dv", "dw1", "db1", "dw2"]):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), rtol=2e-4, atol=2e-4, err_msg=name
+        )

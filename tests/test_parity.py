@@ -59,9 +59,12 @@ def test_grad_jit_matches_eager(model, params):
 
     g_eager = jax.grad(loss)(params)
     g_jit = jax.jit(jax.grad(loss))(params)
+    # rtol: jit fusion reassociates the SCCN combine's batched einsum
+    # (mbsc,mcd->mbsd) differently from the eager dot sequence — measured
+    # up to ~4e-4 relative on f32 gradient leaves of ~1e-2 magnitude.
     for a, b in zip(jax.tree.leaves(g_eager), jax.tree.leaves(g_jit)):
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
         )
 
 

@@ -190,7 +190,14 @@ def test_scanned_epoch_matches_per_step(tmp_path, model, datasets):
 
 def test_scanned_epoch_data_parallel(tmp_path, model, datasets):
     """Scanned segments under the 8-device DP mesh: batch dim sharded,
-    state replicated, same losses as the single-device scan."""
+    state replicated, same losses as the single-device scan.
+
+    Tolerances mirror test_scanned_epoch_matches_per_step: the FIRST
+    iteration must agree to float noise (semantic equivalence), later
+    iterations only loosely — sharding legitimately reassociates the
+    batch reductions, and a 1-ulp difference through the stochastic
+    binarizer's threshold can flip a discrete sample and macroscopically
+    (but legitimately) perturb the trajectory."""
     train, val = datasets
     train.set_epoch(0)
     t_dp = Trainer(
@@ -201,15 +208,19 @@ def test_scanned_epoch_data_parallel(tmp_path, model, datasets):
         ),
     )
     t_dp.state = t_dp.init_state()
-    loss_dp = t_dp.train_epoch(0)
+    t_dp.train_epoch(0)
 
     train.set_epoch(0)
     t_1 = Trainer(
         model, train, val, config=_config(tmp_path / "sd", scan_steps=2)
     )
     t_1.state = t_1.init_state()
-    loss_1 = t_1.train_epoch(0)
-    np.testing.assert_allclose(loss_dp, loss_1, rtol=1e-4)
+    t_1.train_epoch(0)
+    a = np.asarray(t_dp.metrics.iteration_losses)
+    b = np.asarray(t_1.metrics.iteration_losses)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a[0], b[0], rtol=1e-5)  # same semantics
+    np.testing.assert_allclose(a, b, rtol=5e-2)  # same trajectory, chaos tol
 
 
 def test_dp_kill_and_resume(tmp_path, model, datasets):

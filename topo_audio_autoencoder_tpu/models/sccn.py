@@ -28,8 +28,11 @@ TPU-first differences (numerics preserved):
   through the factored ``SimplicialOperators`` form (static membership
   matrix × per-sample probability vector) — static-LHS MXU matmuls with no
   per-sample [S, S'] tensors in HBM (see ``topology.builder``).
-- The four ranks' message/attention weight matrices are applied as plain
-  ``[C, C]`` matmuls — XLA batches them onto the MXU.
+- The per-rank message mix + attention combine tail is ONE fused op
+  (``ops/sccn_combine.py``): a Pallas kernel on TPU for the large ranks
+  (the unfused form streams each [B, S, C] tensor through HBM ~25 times
+  per rank — measured round 2 as a ~31 ms bandwidth-bound tail), the
+  identical jnp composition elsewhere.
 """
 
 from __future__ import annotations
@@ -38,41 +41,38 @@ from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from ..topology.builder import SimplicialOperators
 
 MAX_RANK = 3
 
 
-class MessageAttention(nn.Module):
-    """Per-rank learned softmax attention over the message axis.
-
-    Mirrors reference custom_sccn.py:28-34,128-132: scores = MLP(C->C->1)
-    with a GELU between, softmax over the stacked-messages axis.
-    """
-
-    channels: int
-
-    @nn.compact
-    def __call__(self, stacked: jnp.ndarray) -> jnp.ndarray:
-        # stacked: [M, B, S, C]
-        h = nn.Dense(self.channels)(stacked)
-        h = nn.gelu(h)
-        # No bias on the score head: softmax over the message axis is
-        # shift-invariant, so a scalar score bias is provably gradient-free
-        # (the reference carries one as dead weight, custom_sccn.py:32).
-        scores = nn.Dense(1, use_bias=False)(h)  # [M, B, S, 1]
-        attn = nn.softmax(scores, axis=0)
-        return (stacked * attn).sum(axis=0)  # [B, S, C]
-
-
 class GradientSCCNLayer(nn.Module):
-    """One masked-static SCCN layer over ranks 0..max_rank."""
+    """One masked-static SCCN layer over ranks 0..max_rank.
+
+    The per-rank tail — message channel-mix Denses, the 2-layer score MLP
+    with softmax over the message axis (reference custom_sccn.py:28-34,
+    128-132), and the weighted combine — runs as ONE fused op
+    (``ops.sccn_combine``): a Pallas kernel on TPU for the large ranks,
+    the identical jnp composition elsewhere. The score head carries no
+    bias: softmax over the message axis is shift-invariant, so a scalar
+    score bias is provably gradient-free (the reference carries one as
+    dead weight, custom_sccn.py:32).
+    """
 
     channels: int
     max_rank: int = MAX_RANK
     residual: bool = True
     is_final_layer: bool = False
+    # Pallas combine kernel for ranks with many rows. Default OFF: measured
+    # on v5e at the flagship rank-3 shape (1.86M rows, C=64, M=2), XLA's
+    # own fusion of the batched-einsum composition runs 4.2 ms fwd /
+    # 8.6 ms fwd+bwd vs the Pallas kernel's 20/30 ms (benchmarks/
+    # ab_combine.py) — with C=64 on 128-lane vregs Mosaic's layouts waste
+    # half the machine, and XLA already keeps the tail fused tightly
+    # enough that hand-fusion has no HBM traffic left to save.
+    fused_combine: bool = False
 
     @nn.compact
     def __call__(
@@ -81,11 +81,18 @@ class GradientSCCNLayer(nn.Module):
         ops: SimplicialOperators,
         train: bool = True,
     ) -> list[jnp.ndarray]:
+        from ..ops.sccn_combine import (
+            MIN_FUSED_ROWS,
+            fused_message_combine,
+            message_combine_reference,
+        )
+
         # Learnable per-message-type scales (custom_sccn.py:21-25). Shared
         # across ranks, exactly like the reference's single ParameterDict.
         scale_same = self.param("scale_same", nn.initializers.ones, (1,))
         scale_l2h = self.param("scale_low_to_high", nn.initializers.ones, (1,))
         scale_h2l = self.param("scale_high_to_low", nn.initializers.ones, (1,))
+        lecun = nn.initializers.lecun_normal()
 
         # Hoisted shared incidence products. Every expensive product in
         # this layer factors through one of
@@ -116,20 +123,19 @@ class GradientSCCNLayer(nn.Module):
             if x.shape[-2] == 0:
                 out.append(x)
                 continue
-            messages = []
+            c = self.channels
 
-            # Same-rank message: A_r @ (X_r W). The channel mix W commutes
-            # with every S-axis-linear factor (incidence matmuls, prob and
-            # degree scalings), so it hoists OUTSIDE the whole A_r product:
-            # W is applied ONCE at rank-r size instead of once at the
-            # (up to 4.25x larger) coface rank plus once for the diagonal
-            # term — a measured Dense-time win at n=20 where rank-2's
-            # coface product runs over all 4,845 tetra rows.
-            w_same = nn.Dense(
-                self.channels, use_bias=False, name=f"same_rank_{rank}"
-            )
+            # Message CARRIERS — the neighborhood products, with every
+            # channel mix deferred into the fused combine. The same-rank
+            # mix W commutes with every S-axis-linear factor (incidence
+            # matmuls, prob and degree scalings), so it hoists OUTSIDE the
+            # whole A_r product: W is applied ONCE at rank-r size instead
+            # of once at the (up to 4.25x larger) coface rank plus once
+            # for the diagonal term — a measured Dense-time win at n=20
+            # where rank-2's coface product runs over all 4,845 tetra rows.
+            w_same = self.param(f"same_rank_{rank}", lecun, (c, c))
             if rank == 0:
-                msg = w_same(ops.adj0_matmul(x))
+                car = ops.adj0_matmul(x)
             else:
                 if rank < self.max_rank and (rank + 1) in down:
                     # A_r = B_{r+1} B_{r+1}^T - D: reuse down_{r+1}.
@@ -143,31 +149,39 @@ class GradientSCCNLayer(nn.Module):
                     core = None
                     diag = None
                 if core is None:
-                    msg = jnp.zeros_like(x)
+                    car = jnp.zeros_like(x)
                 else:
-                    msg = w_same(core - diag[..., :, None] * x)
-            msg = msg * scale_same
-            messages.append(msg + x if self.residual else msg)
+                    car = core - diag[..., :, None] * x
+            mixes = [(w_same, scale_same, car)]
 
-            # High-to-low: B_{r+1} @ (X_{r+1} W) == up_{r+1} @ W. Skipped
-            # when the higher rank is statically absent (custom_sccn.py:90-93).
+            # High-to-low carrier: up_{r+1}. Skipped when the higher rank
+            # is statically absent (custom_sccn.py:90-93).
             if rank < self.max_rank and (rank + 1) in up:
-                w_h2l = nn.Dense(
-                    self.channels, use_bias=False, name=f"high_to_low_{rank}"
-                )
-                msg = w_h2l(up[rank + 1]) * scale_h2l
-                messages.append(msg + x if self.residual else msg)
+                w_h2l = self.param(f"high_to_low_{rank}", lecun, (c, c))
+                mixes.append((w_h2l, scale_h2l, up[rank + 1]))
 
-            # Low-to-high: B_r^T @ (X_{r-1} W) == down_r @ W.
+            # Low-to-high carrier: down_r.
             if rank > 0 and rank in down:
-                w_l2h = nn.Dense(
-                    self.channels, use_bias=False, name=f"low_to_high_{rank}"
-                )
-                msg = w_l2h(down[rank]) * scale_l2h
-                messages.append(msg + x if self.residual else msg)
+                w_l2h = self.param(f"low_to_high_{rank}", lecun, (c, c))
+                mixes.append((w_l2h, scale_l2h, down[rank]))
 
-            stacked = jnp.stack(messages, axis=0)  # [M, B, S_r, C]
-            y = MessageAttention(self.channels, name=f"attention_{rank}")(stacked)
+            w1 = self.param(f"attn_w1_{rank}", lecun, (c, c))
+            b1 = self.param(f"attn_b1_{rank}", nn.initializers.zeros, (c,))
+            w2 = self.param(f"attn_w2_{rank}", lecun, (c, 1))
+
+            # Scales fold into the mix weights (V = W * scale): autodiff
+            # through the product recovers dW and dscale, so the fused op
+            # never sees the scales.
+            v = jnp.stack([w * s for w, s, _ in mixes])  # [M, C, C]
+            cars = jnp.stack([cr for _, _, cr in mixes])  # [M, B, S_r, C]
+            xres = x if self.residual else jnp.zeros_like(x)
+            combine = (
+                fused_message_combine
+                if self.fused_combine
+                and int(np.prod(x.shape[:-1])) >= MIN_FUSED_ROWS
+                else message_combine_reference
+            )
+            y = combine(cars, xres, v, w1, b1, w2)
 
             # Reference normalizes only in train mode and never on the final
             # layer (custom_sccn.py:133-135) — final layers carry no norm
