@@ -171,9 +171,10 @@ class GradientSCCNLayer(nn.Module):
 
             # Scales fold into the mix weights (V = W * scale): autodiff
             # through the product recovers dW and dscale, so the fused op
-            # never sees the scales.
+            # never sees the scales. Carriers travel as a TUPLE — stacking
+            # them into [M, B, S, C] before the mix costs a layout copy.
             v = jnp.stack([w * s for w, s, _ in mixes])  # [M, C, C]
-            cars = jnp.stack([cr for _, _, cr in mixes])  # [M, B, S_r, C]
+            cars = tuple(cr for _, _, cr in mixes)
             xres = x if self.residual else jnp.zeros_like(x)
             combine = (
                 fused_message_combine

@@ -65,11 +65,16 @@ def _gelu_grad(x):
 def message_combine_reference(carriers, x, v, w1, b1, w2):
     """Pure-jnp semantics (CPU path + parity golden).
 
-    carriers [M, B, S, C], x [B, S, C], v [M, C, C], w1 [C, C], b1 [C],
-    w2 [C, 1] -> [B, S, C]. Matches models/sccn.py's unfused math: Dense
-    outputs in the input dtype, softmax over the message axis in f32.
+    carriers: tuple of M [B, S, C] arrays (a stacked [M, B, S, C] array
+    also works), x [B, S, C], v [M, C, C], w1 [C, C], b1 [C], w2 [C, 1]
+    -> [B, S, C]. The channel mixes are per-message PLAIN dots (a
+    batched ``mbsc,mcd->mbsd`` einsum forces XLA to lay the stacked
+    operand out for a batched matmul — six 0.5 ms copies per step in the
+    trace); only the mix OUTPUTS stack, and the shared-weight attention
+    MLP over [M, B, S, C] is an ordinary last-dim matmul that needs no
+    batched layout. Softmax over the message axis in f32.
     """
-    msgs = jnp.einsum("mbsc,mcd->mbsd", carriers, v) + x[None]
+    msgs = jnp.stack([c @ v[i] for i, c in enumerate(carriers)]) + x[None]
     h = jax.nn.gelu(msgs @ w1 + b1)
     scores = (h @ w2).astype(jnp.float32)  # [M, B, S, 1]
     attn = jax.nn.softmax(scores, axis=0).astype(msgs.dtype)
@@ -313,8 +318,9 @@ def _bwd_call(car, x, v, w1, b1, w2, dy, interpret=False):
 def fused_message_combine(carriers, x, v, w1, b1, w2):
     """Fused message-mix + attention combine. See module docstring.
 
-    carriers [M, B, S, C], x [B, S, C], v [M, C, C], w1 [C, C], b1 [C],
-    w2 [C, 1] -> [B, S, C].
+    carriers: tuple of M [B, S, C] arrays (or a stacked [M, B, S, C]
+    array), x [B, S, C], v [M, C, C], w1 [C, C], b1 [C], w2 [C, 1]
+    -> [B, S, C].
     """
     out, _ = _fmc_fwd(carriers, x, v, w1, b1, w2)
     return out
@@ -336,8 +342,9 @@ def _fmc_fwd(carriers, x, v, w1, b1, w2):
     if not _use_pallas():
         out = message_combine_reference(carriers, x, v, w1, b1, w2)
         return out, (carriers, x, v, w1, b1, w2)
-    m, b, s, c = carriers.shape
-    car2, x2 = _flatten_pad(carriers, x)
+    car = carriers if hasattr(carriers, "shape") else jnp.stack(carriers)
+    m, b, s, c = car.shape
+    car2, x2 = _flatten_pad(car, x)
     y = _fwd_call(car2, x2, v, w1, b1, w2)
     out = y[: b * s].reshape(b, s, c)
     return out, (carriers, x, v, w1, b1, w2)
@@ -348,14 +355,19 @@ def _fmc_bwd(res, dy):
     if not _use_pallas():
         _, vjp = jax.vjp(message_combine_reference, carriers, x, v, w1, b1, w2)
         return vjp(dy)
-    m, b, s, c = carriers.shape
-    car2, x2 = _flatten_pad(carriers, x)
+    stacked_in = hasattr(carriers, "shape")
+    car = carriers if stacked_in else jnp.stack(carriers)
+    m, b, s, c = car.shape
+    car2, x2 = _flatten_pad(car, x)
     dy2 = jnp.pad(
         dy.reshape(b * s, c), ((0, car2.shape[1] - b * s), (0, 0))
     )
     dcar, dx, dv, dw1, db1, dw2 = _bwd_call(car2, x2, v, w1, b1, w2, dy2)
+    dcar_full = dcar[:, : b * s].reshape(m, b, s, c)
     return (
-        dcar[:, : b * s].reshape(m, b, s, c).astype(carriers.dtype),
+        dcar_full.astype(car.dtype)
+        if stacked_in
+        else tuple(dcar_full[i].astype(car.dtype) for i in range(m)),
         dx[: b * s].reshape(b, s, c).astype(x.dtype),
         dv.astype(v.dtype),
         dw1.astype(w1.dtype),
