@@ -65,6 +65,24 @@ def fwd_fused(car, x, v, w1, b1, w2):
 def fwd_ref(car, x, v, w1, b1, w2):
     return message_combine_reference(car, x, v, w1, b1, w2)
 
+def fwd_einsum(car, x, v, w1, b1, w2):
+    import jax.numpy as jnp
+    msgs = jnp.einsum("mbsc,mcd->mbsd", car, v) + x[None]
+    h = jax.nn.gelu(msgs @ w1 + b1)
+    scores = (h @ w2).astype(jnp.float32)
+    attn = jax.nn.softmax(scores, axis=0).astype(msgs.dtype)
+    return (msgs * attn).sum(axis=0)
+
+def fwd_seq(car, x, v, w1, b1, w2):
+    """Round-2 style: per-message matmul+residual, stack at the end."""
+    import jax.numpy as jnp
+    msgs = [car[i] @ v[i] + x for i in range(car.shape[0])]
+    stacked = jnp.stack(msgs)
+    h = jax.nn.gelu(stacked @ w1 + b1)
+    scores = (h @ w2).astype(jnp.float32)
+    attn = jax.nn.softmax(scores, axis=0).astype(stacked.dtype)
+    return (stacked * attn).sum(axis=0)
+
 def grad_of(fn):
     def g(car, x, v, w1, b1, w2):
         def loss(xx, vv, ww1, bb1, ww2):
@@ -74,8 +92,12 @@ def grad_of(fn):
         return grads[0] + x * 0 + val.astype(x.dtype)  # chain through dx
     return g
 
-r_fwd = run("ref fwd   ", fwd_ref)
-f_fwd = run("fused fwd ", fwd_fused)
-r_all = run("ref f+b   ", grad_of(fwd_ref))
-f_all = run("fused f+b ", grad_of(fwd_fused))
-log(f"fwd speedup {r_fwd/f_fwd:.2f}x | f+b speedup {r_all/f_all:.2f}x")
+if "--variants" in sys.argv:
+    for tag, fn in (("perdot", fwd_ref), ("einsum", fwd_einsum), ("seq", fwd_seq)):
+        run(f"{tag} f+b ", grad_of(fn))
+else:
+    r_fwd = run("ref fwd   ", fwd_ref)
+    f_fwd = run("fused fwd ", fwd_fused)
+    r_all = run("ref f+b   ", grad_of(fwd_ref))
+    f_all = run("fused f+b ", grad_of(fwd_fused))
+    log(f"fwd speedup {r_fwd/f_fwd:.2f}x | f+b speedup {r_all/f_all:.2f}x")

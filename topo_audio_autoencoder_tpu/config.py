@@ -69,6 +69,11 @@ class TrainConfig:
     # (the reference always rotates, main.py:240-256; resume is a rebuild
     # addition — see Trainer.train(resume=True)).
     resume: bool = False
+    # Fuse this many train steps into one compiled lax.scan dispatch
+    # (device-corpus path; 0/1 = per-step dispatch). See
+    # TrainerConfig.scan_steps — on a remote-TPU transport small-batch
+    # epochs are dispatch-bound without it.
+    scan_steps: int = 0
 
 
 @dataclass

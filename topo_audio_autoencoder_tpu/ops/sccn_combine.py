@@ -67,14 +67,17 @@ def message_combine_reference(carriers, x, v, w1, b1, w2):
 
     carriers: tuple of M [B, S, C] arrays (a stacked [M, B, S, C] array
     also works), x [B, S, C], v [M, C, C], w1 [C, C], b1 [C], w2 [C, 1]
-    -> [B, S, C]. The channel mixes are per-message PLAIN dots (a
-    batched ``mbsc,mcd->mbsd`` einsum forces XLA to lay the stacked
-    operand out for a batched matmul — six 0.5 ms copies per step in the
-    trace); only the mix OUTPUTS stack, and the shared-weight attention
-    MLP over [M, B, S, C] is an ordinary last-dim matmul that needs no
-    batched layout. Softmax over the message axis in f32.
+    -> [B, S, C]. Formulation chosen by on-chip A/B at the flagship
+    rank-3 shape (`benchmarks/ab_combine.py --variants`, fwd+bwd):
+    per-message plain dot with the residual added BEFORE stacking
+    (8.4 ms) beats adding x to the stacked tensor afterwards (9.6 ms —
+    the broadcast-add is an extra full HBM pass instead of a matmul
+    epilogue) and the batched ``mbsc,mcd->mbsd`` einsum (9.2 ms — its
+    batched-matmul operand layout forces copies). The shared-weight
+    attention MLP over [M, B, S, C] is an ordinary last-dim matmul and
+    needs no batched layout. Softmax over the message axis in f32.
     """
-    msgs = jnp.stack([c @ v[i] for i, c in enumerate(carriers)]) + x[None]
+    msgs = jnp.stack([c @ v[i] + x for i, c in enumerate(carriers)])
     h = jax.nn.gelu(msgs @ w1 + b1)
     scores = (h @ w2).astype(jnp.float32)  # [M, B, S, 1]
     attn = jax.nn.softmax(scores, axis=0).astype(msgs.dtype)
