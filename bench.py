@@ -91,6 +91,8 @@ def _log(msg: str) -> None:
     print(f"[bench +{time.time() - T_START:6.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
+
+
 def _measure_compiled(compiled, state0, batch, temp, key, k1=5, k2=25):
     """sec/step of an AOT-compiled step via the chain-length slope."""
     from topo_audio_autoencoder_tpu.utils import chain_time
@@ -108,6 +110,14 @@ def _measure_compiled(compiled, state0, batch, temp, key, k1=5, k2=25):
 
 
 def main() -> None:
+    # Transient-outage insurance: wait out a wedged/unavailable tunnel
+    # (bounded) instead of crashing with no stdout line, then proceed
+    # either way (utils.wait_for_backend probes in a subprocess).
+    from topo_audio_autoencoder_tpu.utils import wait_for_backend
+
+    wait = float(os.environ.get("BENCH_BACKEND_WAIT_SECS", "240"))
+    if wait > 0:
+        wait_for_backend(wait, log=_log)
     from topo_audio_autoencoder_tpu.models import AudioAutoencoder
     from topo_audio_autoencoder_tpu.training import (
         create_train_state,

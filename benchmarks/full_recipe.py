@@ -15,6 +15,7 @@ JSON line per stage. Wall-clock on one v5e chip: minutes, dominated by the
 two compiles.
 
 Usage: python benchmarks/full_recipe.py [--quick] [--epochs N] [--corpus N]
+       [--resume]  # continue an interrupted run from <out>/checkpoints/best
 """
 
 from __future__ import annotations
@@ -38,6 +39,36 @@ def _arg(name, default, cast=int):
     return default
 
 
+def resume_run(trainer, out: Path) -> int:
+    """Restore an interrupted recipe run in place; return the next epoch.
+
+    Picks the freshest durable checkpoint ("latest" written every epoch,
+    falling back to "best", which can be many epochs stale under
+    patience), restores the full training snapshot (params, opt state,
+    metrics, curriculum epoch, host PRNG key — Trainer.resume_from), and
+    truncates probe-log entries the resumed segment will re-emit
+    (including any stale "final" row). Returns 0 when there is nothing
+    to resume from.
+    """
+    from topo_audio_autoencoder_tpu.training import CheckpointManager
+
+    ckpt = CheckpointManager(out / "checkpoints")
+    name = next((n for n in ("latest", "best") if ckpt.exists(n)), None)
+    if name is None:
+        return 0
+    start_epoch = trainer.resume_from(name) + 1
+    stats_file = out / "complex_stats.jsonl"
+    if stats_file.exists():
+        kept = [
+            line for line in stats_file.read_text().splitlines()
+            if line.strip()
+            and isinstance(json.loads(line)["epoch"], int)
+            and json.loads(line)["epoch"] < start_epoch
+        ]
+        stats_file.write_text("".join(line + "\n" for line in kept))
+    return start_epoch
+
+
 def main() -> None:
     from topo_audio_autoencoder_tpu.data import (
         ContrastiveConfig,
@@ -50,6 +81,7 @@ def main() -> None:
     from topo_audio_autoencoder_tpu.training import Trainer, TrainerConfig
 
     quick = "--quick" in sys.argv
+    resume = "--resume" in sys.argv
     n_train = _arg("--corpus", 128 if quick else 512)
     max_epochs = _arg("--epochs", 8 if quick else 300)
     patience_cfg = _arg("--patience", 4 if quick else 40)
@@ -101,7 +133,14 @@ def main() -> None:
             scan_steps=scan_steps,
         ),
     )
-    trainer.state = trainer.init_state()
+    # On --resume the tune stage is skipped: the tuned combo is re-applied
+    # from the checkpoint sidecar — it is already folded into the run.
+    start_epoch = resume_run(trainer, out) if resume else 0
+    if start_epoch:
+        emit(stage="resume", start_epoch=start_epoch,
+             best_val_loss=round(trainer.metrics.best_val_loss, 4))
+    else:
+        trainer.state = trainer.init_state()
 
     # fixed probe batch for per-epoch complex statistics + audio dumps
     probe = jnp.asarray(train_wavs[:4])[:, None, :]
@@ -142,36 +181,43 @@ def main() -> None:
             f.write(json.dumps(rec) + "\n")
         return wav, rec
 
-    # --- stage 2: vmapped 8-combo grid tune ---
-    # Tune at a reduced batch: the whole grid trains as one vmap axis, so
-    # HBM holds 8x one step's activations — b=32 G=12 x8 OOMs a v5e chip.
-    t0 = time.perf_counter()
-    # Grid deviates from the reference's (main.py:261-265: decoder_lr in
-    # {1e-4, 5e-5}) after the round-2 diagnosis: at a few hundred updates a
-    # 1e-4 decoder barely moves, and the overfit probe shows healthy descent
-    # at 1e-3. The reference grid's decoder ceiling is represented by 3e-4.
-    grid = {
-        "encoder_lr": [1e-3, 5e-4],
-        "decoder_lr": [1e-3, 3e-4],
-        "complexity_penalty": [0.05, 0.1],
-    }
-    full_batch = trainer.cfg.batch_size
-    trainer.cfg.batch_size = min(8, full_batch)
-    best = trainer.tune_hyperparameters_vmapped(grid)
-    trainer.cfg.batch_size = full_batch
-    emit(stage="tune", best=best, seconds=round(time.perf_counter() - t0, 2))
+    if start_epoch == 0:
+        # --- stage 2: vmapped 8-combo grid tune ---
+        # Tune at a reduced batch: the whole grid trains as one vmap axis, so
+        # HBM holds 8x one step's activations — b=32 G=12 x8 OOMs a v5e chip.
+        t0 = time.perf_counter()
+        # Grid deviates from the reference's (main.py:261-265: decoder_lr in
+        # {1e-4, 5e-5}) after the round-2 diagnosis: at a few hundred updates
+        # a 1e-4 decoder barely moves, and the overfit probe shows healthy
+        # descent at 1e-3. The reference grid's decoder ceiling is
+        # represented by 3e-4.
+        grid = {
+            "encoder_lr": [1e-3, 5e-4],
+            "decoder_lr": [1e-3, 3e-4],
+            "complexity_penalty": [0.05, 0.1],
+        }
+        full_batch = trainer.cfg.batch_size
+        trainer.cfg.batch_size = min(8, full_batch)
+        best = trainer.tune_hyperparameters_vmapped(grid)
+        trainer.cfg.batch_size = full_batch
+        emit(stage="tune", best=best, seconds=round(time.perf_counter() - t0, 2))
 
-    # --- stage 3: full run with per-epoch probes ---
-    (out / "complex_stats.jsonl").write_text("")
-    wav0, stats0 = complex_stats(-1)
-    save_wav(out / "sample_input.wav", np.asarray(probe[0]), 16000)
-    save_wav(out / "sample_epoch_start.wav", np.asarray(wav0[0]), 16000)
-    emit(stage="probe_init", **{k: v for k, v in stats0.items() if k != "epoch"})
+        # --- stage 3: full run with per-epoch probes ---
+        (out / "complex_stats.jsonl").write_text("")
+        wav0, stats0 = complex_stats(-1)
+        save_wav(out / "sample_input.wav", np.asarray(probe[0]), 16000)
+        save_wav(out / "sample_epoch_start.wav", np.asarray(wav0[0]), 16000)
+        emit(stage="probe_init", **{k: v for k, v in stats0.items() if k != "epoch"})
 
     t0 = time.perf_counter()
     cfg = trainer.cfg
-    best_val, patience = float("inf"), 0
-    for epoch in range(max_epochs):
+    best_val = trainer.metrics.best_val_loss if start_epoch else float("inf")
+    patience = (
+        max(0, (start_epoch - 1) - trainer.metrics.best_epoch)
+        if start_epoch and trainer.metrics.best_epoch >= 0
+        else 0
+    )
+    for epoch in range(start_epoch, max_epochs):
         train_loss = trainer.train_epoch(epoch)
         trainer.train_dataset.set_epoch(epoch)
         trainer.metrics.train_losses.append(train_loss)
@@ -189,6 +235,9 @@ def main() -> None:
             patience = 0
         else:
             patience += 1
+        # Durable per-epoch snapshot so --resume loses at most one epoch
+        # (the "best" save alone can be many epochs stale under patience).
+        trainer.save_checkpoint("latest", epoch=epoch)
         emit(stage="epoch", epoch=epoch, train_loss=round(train_loss, 4),
              val_loss=round(val_loss, 4), **{k: v for k, v in stats.items() if k != "epoch"})
         if patience >= cfg.patience:
@@ -203,7 +252,8 @@ def main() -> None:
         best_epoch=trainer.metrics.best_epoch,
         train_seconds=round(time.perf_counter() - t0, 1),
         clips_per_sec=round(
-            len(trainer.metrics.train_losses) * n_train / (time.perf_counter() - t0), 1
+            (len(trainer.metrics.train_losses) - start_epoch)
+            * n_train / (time.perf_counter() - t0), 1
         ),
     )
 

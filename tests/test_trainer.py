@@ -249,3 +249,44 @@ def test_dp_kill_and_resume(tmp_path, model, datasets):
         jax.tree.leaves(t_full.state.params), jax.tree.leaves(t_b.state.params)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
+def test_full_recipe_resume_run(tmp_path, model, datasets):
+    """benchmarks/full_recipe.py --resume: prefers the per-epoch "latest"
+    snapshot over the possibly-stale "best", restores the metrics
+    snapshot, and truncates probe-log rows the resumed segment will
+    re-emit (including a stale "final" string row)."""
+    import importlib.util
+    import json
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "_full_recipe_under_test",
+        Path(__file__).resolve().parent.parent / "benchmarks" / "full_recipe.py",
+    )
+    fr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(fr)
+
+    train, val = datasets
+    out = tmp_path / "run"
+    cfg = _config(out / "checkpoints")
+    t_a = Trainer(model, train, val, config=cfg)
+    assert fr.resume_run(t_a, out) == 0  # nothing to resume from
+
+    t_a.state = t_a.init_state()
+    t_a.metrics.train_losses = [1.0, 0.9]
+    t_a.metrics.val_losses = [1.1, 1.0]
+    t_a.metrics.best_val_loss, t_a.metrics.best_epoch = 1.0, 1
+    t_a.save_checkpoint("best", epoch=0)  # stale best (epoch 0)
+    t_a.save_checkpoint("latest", epoch=1)
+    stats = out / "complex_stats.jsonl"
+    rows = [{"epoch": -1}, {"epoch": 0}, {"epoch": 1}, {"epoch": 2},
+            {"epoch": "final"}]
+    stats.write_text("".join(json.dumps(r) + "\n" for r in rows))
+
+    t_b = Trainer(model, train, val, config=cfg)
+    assert fr.resume_run(t_b, out) == 2  # latest (epoch 1) wins over best
+    kept = [json.loads(l)["epoch"] for l in stats.read_text().splitlines()]
+    assert kept == [-1, 0, 1]  # rows >= start_epoch and "final" dropped
+    assert t_b.metrics.train_losses == [1.0, 0.9]
+    assert t_b.metrics.best_epoch == 1

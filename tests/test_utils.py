@@ -59,3 +59,23 @@ def test_finite_or_zero():
     np.testing.assert_array_equal(
         np.asarray(finite_or_zero(x)), [1.0, 0.0, 0.0, -2.0]
     )
+
+
+def test_wait_for_backend_reachable():
+    """A healthy backend is detected on the first subprocess probe
+    (platform pinned to cpu: the site plugin's programmatic config beats
+    env vars, so the override must go through jax.config)."""
+    from topo_audio_autoencoder_tpu.utils import wait_for_backend
+
+    assert wait_for_backend(120.0, platform="cpu", probe_timeout=90.0)
+
+
+def test_wait_for_backend_unreachable_gives_up():
+    from topo_audio_autoencoder_tpu.utils import wait_for_backend
+
+    msgs = []
+    assert not wait_for_backend(
+        12.0, platform="no_such_platform", poll=1.0, probe_timeout=30.0,
+        log=msgs.append,
+    )
+    assert any("unreachable" in m for m in msgs)

@@ -7,7 +7,7 @@ from .debug import (
     finite_or_zero,
     golden_precision,
 )
-from .profiling import chain_time, fetch_scalar, time_fn, trace
+from .profiling import chain_time, fetch_scalar, time_fn, trace, wait_for_backend
 
 __all__ = [
     "assert_finite_tree",
@@ -19,4 +19,5 @@ __all__ = [
     "fetch_scalar",
     "time_fn",
     "trace",
+    "wait_for_backend",
 ]

@@ -91,3 +91,57 @@ def chain_time(make_step, k1: int = 5, k2: int = 25, warmup: int = 3) -> float:
     t1 = run(k1)
     t2 = run(k2)
     return max((t2 - t1) / (k2 - k1), 1e-9)
+
+
+def wait_for_backend(
+    max_wait: float,
+    *,
+    platform: str | None = None,
+    poll: float = 30.0,
+    probe_timeout: float = 120.0,
+    log=None,
+) -> bool:
+    """Wait out a transient accelerator-backend outage; True if reachable.
+
+    A killed-mid-compile client can wedge the remote-TPU tunnel for
+    minutes, and a pool outage surfaces as UNAVAILABLE (or a multi-minute
+    hang) at PJRT client init. Probing runs ``jax.devices()`` in a
+    SUBPROCESS so a hung init can be timed out without poisoning the
+    calling process's backend state; once a probe succeeds, the caller's
+    own init hits a live tunnel. ``platform`` overrides the probed
+    backend via ``jax.config`` (env vars alone are beaten by the site
+    plugin's programmatic config — CLAUDE.md); tests probe ``cpu``.
+    """
+    import subprocess
+    import sys as _sys
+
+    code = "import jax; "
+    if platform:
+        code += f"jax.config.update('jax_platforms', {platform!r}); "
+    code += "jax.devices()"
+    deadline = time.time() + max_wait
+    attempt = 0
+    while True:
+        attempt += 1
+        budget = deadline - time.time()
+        if budget <= 0:
+            break
+        try:
+            proc = subprocess.run(
+                [_sys.executable, "-c", code],
+                capture_output=True,
+                timeout=min(probe_timeout, max(10.0, budget)),
+            )
+            if proc.returncode == 0:
+                if log and attempt > 1:
+                    log(f"backend reachable (probe attempt {attempt})")
+                return True
+            if log:
+                log(f"backend probe {attempt} failed (rc={proc.returncode})")
+        except subprocess.TimeoutExpired:
+            if log:
+                log(f"backend probe {attempt} timed out")
+        time.sleep(min(poll, max(0.0, deadline - time.time())))
+    if log:
+        log(f"backend still unreachable after {max_wait:.0f}s")
+    return False
