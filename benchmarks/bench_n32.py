@@ -33,9 +33,16 @@ def main():
     from topo_audio_autoencoder_tpu.models import AudioAutoencoder
     from topo_audio_autoencoder_tpu.utils import wait_for_backend
 
-    wait_for_backend(
+    if not wait_for_backend(
         float(os.environ.get("BENCH_BACKEND_WAIT_SECS", "240")), log=log
-    )
+    ):
+        # Emit a parseable outage line rather than hanging ~23 min in our
+        # own PJRT init (the pool-outage failure mode; see RESULTS.md).
+        print(json.dumps({
+            "metric": "n32_train_clips_per_sec", "value": 0.0,
+            "unit": "clips/s", "error": "tpu_backend_unavailable",
+        }), flush=True)
+        return
     from topo_audio_autoencoder_tpu.training import (
         create_train_state, make_optimizer, make_train_step)
     from topo_audio_autoencoder_tpu.utils import chain_time
