@@ -66,3 +66,22 @@ def test_main_scan_steps_cli(tmp_path):
     )
     assert len(metrics["train_losses"]) == 2
     assert np.all(np.isfinite(metrics["train_losses"]))
+
+
+def test_bench_outage_fallback(monkeypatch, capsys):
+    """bench.py emits ONE parseable stdout JSON line when the TPU pool is
+    unreachable (the round-3 outage mode) instead of hanging in PJRT init."""
+    import bench
+
+    monkeypatch.setenv("BENCH_BACKEND_WAIT_SECS", "5")
+    monkeypatch.setattr(
+        "topo_audio_autoencoder_tpu.utils.wait_for_backend",
+        lambda *a, **k: False,
+    )
+    bench.main()
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 1
+    out = json.loads(lines[0])
+    assert out["metric"] == "train_clips_per_sec_per_chip"
+    assert out["value"] == 0.0
+    assert out["error"] == "tpu_backend_unavailable"
