@@ -52,6 +52,7 @@ from topo_audio_autoencoder_tpu.ops.sccn_combine import (  # noqa: E402
     _compiler_params,
     _fwd_kernel,
     _gelu,
+    _gelu_grad,
     message_combine_reference,
 )
 
@@ -162,24 +163,100 @@ def _packed_kernel(carp_ref, x_ref, vblk_ref, w1blk_ref, b1t_ref, w2t_ref,
     ).astype(out_ref.dtype)
 
 
+def _packed_bwd_kernel(carp_ref, x_ref, vblk_ref, w1blk_ref, b1t_ref,
+                       w2t_ref, tile_ref, fold_ref, dy_ref,
+                       dcarp_ref, dx_ref, dvblk_ref, dw1blk_ref, db1t_ref,
+                       dw2t_ref, *, c):
+    """Backward of _packed_kernel: recomputes the forward in VMEM, emits
+    per-tile input cotangents and f32 weight-grad accumulators that
+    revisit one shared block across the sequential grid (same pattern as
+    ops/sccn_combine._bwd_kernel). Weight grads are in PACKED space —
+    the caller folds diagonal blocks / halves back to W1/b1/w2/V."""
+    from jax.experimental import pallas as pl
+
+    f32 = jnp.float32
+    carp = carp_ref[...]
+    xx = x_ref[...]
+    tile_m = tile_ref[...]
+    fold_m = fold_ref[...]
+    vblk = vblk_ref[...]
+    w1blk = w1blk_ref[...]
+    w2t = w2t_ref[...].astype(f32)
+    bd = carp.dtype
+
+    # --- recompute forward ---
+    xt = jax.lax.dot_general(xx, tile_m, (((1,), (0,)), ((), ())),
+                             preferred_element_type=f32)
+    msgs = jax.lax.dot_general(carp, vblk, (((1,), (0,)), ((), ())),
+                               preferred_element_type=f32) + xt
+    pre = jax.lax.dot_general(msgs.astype(bd), w1blk, (((1,), (0,)), ((), ())),
+                              preferred_element_type=f32) + b1t_ref[...].astype(f32)
+    h = _gelu(pre)
+    z = h * w2t
+    lanes = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
+    first = lanes < c
+    s0 = jnp.sum(jnp.where(first, z, 0.0), axis=-1, keepdims=True)
+    s1 = jnp.sum(jnp.where(first, 0.0, z), axis=-1, keepdims=True)
+    a0 = jax.nn.sigmoid(s0 - s1)
+    attn = jnp.where(first, a0, 1.0 - a0)
+
+    # --- backward ---
+    dyp = jax.lax.dot_general(dy_ref[...], tile_m, (((1,), (0,)), ((), ())),
+                              preferred_element_type=f32)  # tile dy to [T,2C]
+    dmsgs = dyp * attn
+    dattn = dyp * msgs
+    da0 = jnp.sum(jnp.where(first, dattn, -dattn), axis=-1, keepdims=True)
+    dd = da0 * a0 * (1.0 - a0)
+    dz = jnp.where(first, dd, -dd)
+    dh = dz * w2t
+    dpre = dh * _gelu_grad(pre)
+    dmsgs = dmsgs + jax.lax.dot_general(
+        dpre.astype(bd), w1blk, (((1,), (1,)), ((), ())),
+        preferred_element_type=f32)
+    dcarp_ref[...] = jax.lax.dot_general(
+        dmsgs.astype(bd), vblk, (((1,), (1,)), ((), ())),
+        preferred_element_type=f32).astype(dcarp_ref.dtype)
+    dx_ref[...] = jax.lax.dot_general(
+        dmsgs.astype(bd), fold_m, (((1,), (0,)), ((), ())),
+        preferred_element_type=f32).astype(dx_ref.dtype)
+
+    dvblk_i = jax.lax.dot_general(carp, dmsgs.astype(bd),
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=f32)
+    dw1blk_i = jax.lax.dot_general(msgs.astype(bd), dpre.astype(bd),
+                                   (((0,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+    db1t_i = jnp.sum(dpre, axis=0, keepdims=True)
+    dw2t_i = jnp.sum(h * dz, axis=0, keepdims=True)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dvblk_ref[...] = dvblk_i
+        dw1blk_ref[...] = dw1blk_i
+        db1t_ref[...] = db1t_i
+        dw2t_ref[...] = dw2t_i
+
+    @pl.when(pl.program_id(0) > 0)
+    def _accum():
+        dvblk_ref[...] += dvblk_i
+        dw1blk_ref[...] += dw1blk_i
+        db1t_ref[...] += db1t_i
+        dw2t_ref[...] += dw2t_i
+
+
 # ------------------------------------------------------------- callers
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
-def packed_call(car, x, v, w1, b1, w2, tile=4096, interpret=False):
-    """car [M=2, P, C], unpacked operands -> y [P, C].
+def _pack_operands(car, x, v, w1, b1, w2):
+    """[2,P,C] carriers -> [P,2C] lane-packed + block-diag weights.
 
-    The lane-pack of the carriers ([2, P, C] -> [P, 2C]) happens in XLA
-    (transpose+reshape); in production it would fuse into the upstream
-    incidence matmuls' epilogue. Block-diagonal weights are built here —
-    they are tiny ([128,128]).
+    In production the carrier pack would fuse into the upstream incidence
+    matmuls' epilogue (each writes its half of the packed buffer); here
+    the transpose+reshape cost is deliberately INCLUDED in the timing.
     """
-    from jax.experimental import pallas as pl
-
     m, p, c = car.shape
     assert m == 2, "packed variant is specialized to M=2"
     carp = jnp.swapaxes(car, 0, 1).reshape(p, m * c)
-    f32 = jnp.float32
     zero = jnp.zeros((c, c), v.dtype)
     vblk = jnp.block([[v[0], zero], [zero, v[1]]])
     w1blk = jnp.block([[w1, zero], [zero, w1]])
@@ -188,6 +265,17 @@ def packed_call(car, x, v, w1, b1, w2, tile=4096, interpret=False):
     eye = jnp.eye(c, dtype=car.dtype)
     tile_m = jnp.concatenate([eye, eye], axis=1)        # [C, 2C]
     fold_m = jnp.concatenate([eye, eye], axis=0)        # [2C, C]
+    return carp, vblk, w1blk, b1t, w2t, tile_m, fold_m
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def packed_call(car, x, v, w1, b1, w2, tile=4096, interpret=False):
+    """car [M=2, P, C], unpacked operands -> y [P, C]."""
+    from jax.experimental import pallas as pl
+
+    m, p, c = car.shape
+    carp, vblk, w1blk, b1t, w2t, tile_m, fold_m = _pack_operands(
+        car, x, v, w1, b1, w2)
     grid = (p // tile,)
     return pl.pallas_call(
         functools.partial(_packed_kernel, c=c),
@@ -207,6 +295,76 @@ def packed_call(car, x, v, w1, b1, w2, tile=4096, interpret=False):
         compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
     )(carp, x, vblk, w1blk, b1t, w2t, tile_m, fold_m)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def packed_bwd_call(car, x, v, w1, b1, w2, dy, tile=4096, interpret=False):
+    """Packed backward: returns (dcar [2,P,C], dx, dv, dw1, db1, dw2)."""
+    from jax.experimental import pallas as pl
+
+    m, p, c = car.shape
+    carp, vblk, w1blk, b1t, w2t, tile_m, fold_m = _pack_operands(
+        car, x, v, w1, b1, w2)
+    grid = (p // tile,)
+    f32 = jnp.float32
+    dcarp, dx, dvblk, dw1blk, db1t, dw2t = pl.pallas_call(
+        functools.partial(_packed_bwd_kernel, c=c),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, 2 * c), lambda i: (i, 0)),
+            pl.BlockSpec((tile, c), lambda i: (i, 0)),
+            pl.BlockSpec((2 * c, 2 * c), lambda i: (0, 0)),
+            pl.BlockSpec((2 * c, 2 * c), lambda i: (0, 0)),
+            pl.BlockSpec((1, 2 * c), lambda i: (0, 0)),
+            pl.BlockSpec((1, 2 * c), lambda i: (0, 0)),
+            pl.BlockSpec((c, 2 * c), lambda i: (0, 0)),
+            pl.BlockSpec((2 * c, c), lambda i: (0, 0)),
+            pl.BlockSpec((tile, c), lambda i: (i, 0)),
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((p, 2 * c), car.dtype),
+            jax.ShapeDtypeStruct((p, c), x.dtype),
+            jax.ShapeDtypeStruct((2 * c, 2 * c), f32),
+            jax.ShapeDtypeStruct((2 * c, 2 * c), f32),
+            jax.ShapeDtypeStruct((1, 2 * c), f32),
+            jax.ShapeDtypeStruct((1, 2 * c), f32),
+        ),
+        out_specs=(
+            pl.BlockSpec((tile, 2 * c), lambda i: (i, 0)),
+            pl.BlockSpec((tile, c), lambda i: (i, 0)),
+            pl.BlockSpec((2 * c, 2 * c), lambda i: (0, 0)),
+            pl.BlockSpec((2 * c, 2 * c), lambda i: (0, 0)),
+            pl.BlockSpec((1, 2 * c), lambda i: (0, 0)),
+            pl.BlockSpec((1, 2 * c), lambda i: (0, 0)),
+        ),
+        compiler_params=None if interpret else _compiler_params(),
+        interpret=interpret,
+    )(carp, x, vblk, w1blk, b1t, w2t, tile_m, fold_m, dy)
+    # Unpack: packed-space grads -> the shared/unpacked parameters.
+    dcar = dcarp.reshape(p, 2, c).swapaxes(0, 1).astype(car.dtype)
+    dv = jnp.stack([dvblk[:c, :c], dvblk[c:, c:]]).astype(v.dtype)
+    dw1 = (dw1blk[:c, :c] + dw1blk[c:, c:]).astype(w1.dtype)
+    db1 = (db1t[0, :c] + db1t[0, c:]).astype(b1.dtype)
+    dw2 = (dw2t[0, :c] + dw2t[0, c:]).reshape(c, 1).astype(w2.dtype)
+    return dcar, dx, dv, dw1, db1, dw2
+
+
+def make_packed_combine(tile=4096, interpret=False):
+    """custom_vjp wrapper so jax.grad routes through the packed kernels."""
+
+    @jax.custom_vjp
+    def packed_combine(car, x, v, w1, b1, w2):
+        return packed_call(car, x, v, w1, b1, w2, tile=tile,
+                           interpret=interpret)
+
+    def fwd(car, x, v, w1, b1, w2):
+        return packed_combine(car, x, v, w1, b1, w2), (car, x, v, w1, b1, w2)
+
+    def bwd(res, dy):
+        return packed_bwd_call(*res, dy, tile=tile, interpret=interpret)
+
+    packed_combine.defvjp(fwd, bwd)
+    return packed_combine
 
 
 def _simple_call(kernel, car, x, extra, tile, interpret=False):
@@ -287,7 +445,24 @@ def parity():
                 else (v, w1, b1.reshape(1, 64), w2.reshape(1, 64))),
             tile=128, interpret=True)
         assert out.shape == x.shape, name
-    log("parity OK")
+
+    # Gradient parity: packed custom-VJP kernels vs autodiff through the
+    # jnp reference, all six cotangents.
+    pc = make_packed_combine(tile=128, interpret=True)
+
+    def loss(fn):
+        return lambda *a: (fn(*a) ** 2).sum()
+
+    g_ref = jax.grad(loss(message_combine_reference), argnums=(0, 1, 2, 3, 4, 5))(
+        car, x, v, w1, b1, w2)
+    g_pk = jax.grad(loss(pc), argnums=(0, 1, 2, 3, 4, 5))(
+        car, x, v, w1, b1, w2)
+    for name, a, b in zip(("dcar", "dx", "dv", "dw1", "db1", "dw2"), g_ref, g_pk):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-30
+        err = float(jnp.max(jnp.abs(a - b))) / scale
+        log(f"grad {name}: rel max|err| = {err:.2e}")
+        assert err < 1e-4, (name, err)
+    log("parity OK (fwd + all six grads)")
 
 
 def main():
@@ -303,13 +478,37 @@ def main():
     tile = arg("--tile", 4096)
     m, c = arg("--m", 2), 64
     p = (rows + tile - 1) // tile * tile
-    names = arg("--variants", "copy,matmul,nogelu,full,packed,xla", str).split(",")
+    grad_mode = "--grad" in sys.argv
+    default_names = ("packed,xla" if grad_mode
+                     else "copy,matmul,nogelu,full,packed,xla")
+    names = arg("--variants", default_names, str).split(",")
     dt = jnp.bfloat16
     car, x, v, w1, b1, w2 = make_inputs(p, m, c, dt)
     gb_moved = (m + 2) * p * c * 2 / 1e9  # car in, x in, y out
-    log(f"rows={p} tile={tile} traffic={gb_moved:.2f} GB min")
+    if grad_mode:
+        gb_moved *= 2.5  # + dcar, dx writes and a recompute read, roughly
+    log(f"rows={p} tile={tile} traffic={gb_moved:.2f} GB min"
+        f"{' (fwd+bwd)' if grad_mode else ''}")
+
+    def grad_of(fn):
+        def g(car, x, v, w1, b1, w2):
+            def loss(xx, vv, ww1, bb1, ww2):
+                return fn(car, xx, vv, ww1, bb1, ww2).astype(jnp.float32).sum()
+            val, grads = jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4))(
+                x, v, w1, b1, w2)
+            return grads[0] + x * 0 + val.astype(x.dtype)  # chain through dx
+        return g
+
     for name in names:
-        fn = jax.jit(make_variant(name, tile))
+        if grad_mode and name == "packed":
+            base = make_packed_combine(tile=tile)
+        elif grad_mode and name == "full":
+            from topo_audio_autoencoder_tpu.ops.sccn_combine import (
+                fused_message_combine)
+            base = fused_message_combine  # production custom-VJP kernels
+        else:
+            base = make_variant(name, tile)
+        fn = jax.jit(grad_of(base) if grad_mode else base)
         log(f"compile {name}...")
         fn(car, x, v, w1, b1, w2)
 
