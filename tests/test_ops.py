@@ -413,3 +413,36 @@ def test_message_combine_bwd_matches_autodiff(rng, m):
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(r), rtol=2e-4, atol=2e-4, err_msg=name
         )
+
+
+def test_packed_combine_parity_interpret():
+    """The experimental lane-packed M=2 combine kernels
+    (benchmarks/kernel_diag.py) match the jnp reference — forward and all
+    six cotangents — in interpret mode. Keeps the candidate honest while
+    it awaits its on-chip A/B."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "_kernel_diag_under_test",
+        Path(__file__).resolve().parent.parent / "benchmarks" / "kernel_diag.py",
+    )
+    kd = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(kd)
+
+    car, x, v, w1, b1, w2 = kd.make_inputs(256, 2, 64, jnp.float32, seed=3)
+    ref = kd.message_combine_reference(car, x, v, w1, b1, w2)
+    got = kd.packed_call(car, x, v, w1, b1, w2, tile=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    pc = kd.make_packed_combine(tile=128, interpret=True)
+
+    def loss(fn):
+        return lambda *a: (fn(*a) ** 2).sum()
+
+    g_ref = jax.grad(loss(kd.message_combine_reference), argnums=(0, 1, 2, 3, 4, 5))(
+        car, x, v, w1, b1, w2)
+    g_pk = jax.grad(loss(pc), argnums=(0, 1, 2, 3, 4, 5))(car, x, v, w1, b1, w2)
+    for name, a, b in zip(("dcar", "dx", "dv", "dw1", "db1", "dw2"), g_ref, g_pk):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-4, err_msg=name)
