@@ -141,6 +141,14 @@ def main() -> None:
              best_val_loss=round(trainer.metrics.best_val_loss, 4))
     else:
         trainer.state = trainer.init_state()
+        # Fresh start into a reused --out dir: rotate a stale step log
+        # aside. MetricWriter is append-only and the step counter restarts
+        # at 0, so appending would interleave two runs in one file. (On
+        # --resume the counter continues from the snapshot, so appending
+        # is the correct behavior there.)
+        log = out / "checkpoints" / "train_log.jsonl"
+        if log.exists() and log.stat().st_size:
+            log.rename(log.with_name("train_log_prev.jsonl"))
 
     # fixed probe batch for per-epoch complex statistics + audio dumps
     probe = jnp.asarray(train_wavs[:4])[:, None, :]

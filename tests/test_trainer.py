@@ -136,6 +136,20 @@ def test_validate_scores_every_clip(tmp_path, model, datasets):
     np.testing.assert_allclose(full, per_clip, rtol=1e-5)
 
 
+def test_validate_indexed_matches_array_path(tmp_path, model, datasets):
+    """Device-corpus validation (HBM gather + one end-of-loop drain) must
+    reproduce the array path exactly: same clips, same order, same
+    padding semantics."""
+    train, val = datasets
+    trainer = Trainer(model, train, val, config=_config(tmp_path))
+    trainer.state = trainer.init_state()
+    indexed = trainer._validate_indexed(val)
+    trainer.cfg.device_corpus = False
+    array = trainer.validate()
+    trainer.cfg.device_corpus = True
+    np.testing.assert_allclose(indexed, array, rtol=1e-6)
+
+
 def test_trainer_tuner(tmp_path, model, datasets):
     train, val = datasets
     trainer = Trainer(model, train, val, config=_config(tmp_path))

@@ -9,6 +9,7 @@ from topo_audio_autoencoder_tpu.data import (
     NSynthDataset,
     batch_iterator,
     compute_distances,
+    index_iterator,
     synth_corpus,
 )
 from topo_audio_autoencoder_tpu.models import AudioAutoencoder
@@ -81,6 +82,75 @@ def test_trainer_vmapped_tuning(setup, tmp_path):
     ):
         assert a.shape == b.shape
     assert (tmp_path / "best_tuning").exists()
+
+
+def test_indexed_tune_matches_array_path(setup):
+    """Device-corpus tuning (index batches + HBM gather) must reproduce
+    the array path exactly: the iterators share sampling seeds, so the
+    gathered waveforms — and therefore every grid step — are identical."""
+    model, train, val = setup
+    grid = {
+        "encoder_lr": [1e-3, 5e-4],
+        "decoder_lr": [1e-4],
+        "complexity_penalty": [0.1],
+    }
+    kw = dict(epochs=1, seed=3)
+    res_arr = VmappedGridTuner(model).tune(
+        grid,
+        train_batches=lambda e: batch_iterator(train, 2, epoch=e),
+        val_batches=lambda: batch_iterator(val, 2, shuffle=False),
+        **kw,
+    )
+    res_idx = VmappedGridTuner(model).tune(
+        grid,
+        train_batches=lambda e: index_iterator(train, 2, epoch=e),
+        val_batches=lambda: index_iterator(val, 2, shuffle=False),
+        corpus=train.waveforms,
+        val_corpus=val.waveforms,
+        **kw,
+    )
+    np.testing.assert_allclose(
+        res_idx["val_losses"], res_arr["val_losses"], rtol=1e-5
+    )
+    assert res_idx["best_index"] == res_arr["best_index"]
+
+
+def test_scanned_tune_matches_per_step(setup):
+    """Scanned tuning (k grid steps per dispatch, PRNG key carried in the
+    scan) follows the per-step indexed path's trajectory: the key is
+    split in the same order, so every step consumes the same batch and
+    sampler noise. The FIRST step must agree to float-noise (semantic
+    equivalence); later steps only loosely — the scanned program fuses
+    differently, and a 1-ulp difference through the stochastic binarizer
+    can flip a discrete sample and macroscopically (but legitimately)
+    perturb the trajectory (same chaos tolerance as the trainer's
+    test_scanned_epoch_matches_per_step)."""
+    model, train, val = setup
+    grid = {
+        "encoder_lr": [1e-3],
+        "decoder_lr": [1e-4],
+        "complexity_penalty": [0.05, 0.1],
+    }
+    kw = dict(
+        train_batches=lambda e: index_iterator(train, 2, epoch=e),
+        val_batches=lambda: index_iterator(val, 2, shuffle=False),
+        corpus=train.waveforms,
+        val_corpus=val.waveforms,
+        epochs=2,
+        seed=7,
+    )
+    res_step = VmappedGridTuner(model).tune(grid, **kw)
+    res_scan = VmappedGridTuner(model).tune(grid, scan_steps=2, **kw)
+    assert len(res_scan["train_curve"]) == len(res_step["train_curve"])
+    np.testing.assert_allclose(
+        res_scan["train_curve"][0], res_step["train_curve"][0], rtol=1e-5
+    )  # same semantics
+    np.testing.assert_allclose(
+        res_scan["train_curve"], res_step["train_curve"], rtol=1.5e-1
+    )  # same trajectory, chaos tolerance (measured max divergence 6.7%)
+    np.testing.assert_allclose(
+        res_scan["val_losses"], res_step["val_losses"], rtol=1.5e-1
+    )
 
 
 def test_vmapped_combos_diverge(setup):

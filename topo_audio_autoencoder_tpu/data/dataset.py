@@ -134,28 +134,31 @@ class NSynthDataset:
         ).astype(np.int32)
 
     def sample_batch(self, idxs: np.ndarray, seed: int) -> np.ndarray:
-        """Assemble a whole batch at once — native (C++, multithreaded)
-        when available, per-item Python otherwise.
+        """Assemble a whole batch at once: sample indices, gather rows.
 
         Train: [B, G, 1, T]; eval: [B, 1, T].
+
+        Sampling lives in ONE place (``sample_batch_indices``), so the
+        array path and the device-resident-corpus index path draw the
+        same positives/negatives from the same seed — bit-identical
+        batches either way (pinned by
+        tests/test_tuner.py::test_indexed_tune_matches_array_path). The
+        expensive part — copying B*G*T floats — goes through the native
+        (C++) gather when available. (``assemble_contrastive_batch``,
+        the single-call native assembly with its own C++ RNG stream,
+        remains available in ``native_loader`` for hosts where Python
+        index sampling is the bottleneck.)
         """
+        from .native_loader import gather_batch
+
         if not self.train:
-            from .native_loader import gather_batch
-
             return gather_batch(np.asarray(self.waveforms), idxs)[:, None, :]
-        c = self.config
-        from .native_loader import assemble_contrastive_batch
-
-        batch = assemble_contrastive_batch(
-            np.asarray(self.waveforms),
-            np.asarray(idxs, dtype=np.int32),
-            self.neighbors,
-            c.num_positive_neighbors,
-            c.num_negative_samples,
-            self.current_negative_offset,
-            seed,
+        idx = self.sample_batch_indices(idxs, seed)  # [B, G]
+        b, g = idx.shape
+        flat = gather_batch(
+            np.asarray(self.waveforms), idx.reshape(-1).astype(np.int32)
         )
-        return batch[:, :, None, :]
+        return flat.reshape(b, g, 1, -1)
 
 
 def batch_iterator(

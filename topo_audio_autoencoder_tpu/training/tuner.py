@@ -149,6 +149,31 @@ class VmappedGridTuner:
             )
             return state._replace(params=params, opt_state=opt_state), loss
 
+        def scan_grid_step(state: GridState, idx_seg, temp, rng, corpus):
+            """[k, B, G] index segment -> k grid steps in ONE dispatch.
+
+            The PRNG key rides the scan carry and is split exactly like
+            the host loop (rng, sub = split(rng); split(sub, K) per step),
+            so the scanned and per-step tunes follow the same trajectory
+            bit for bit (cf. the trainer's scanned epoch,
+            trainer.py::_train_epoch_scanned). The HBM gather lives inside
+            the body — at tuner batch sizes the combined program is well
+            under the remote compile helper's limit (see
+            make_scan_indexed_train_step).
+            """
+            k_combos = state.encoder_lr.shape[0]
+
+            def body(carry, idx):
+                st, r = carry
+                r, sub = jax.random.split(r)
+                step_rngs = jax.random.split(sub, k_combos)
+                batch = corpus[idx][:, :, None, :]
+                st, loss = grid_step(st, batch, temp, step_rngs)
+                return (st, r), loss
+
+            (state, rng), losses = jax.lax.scan(body, (state, rng), idx_seg)
+            return state, rng, losses
+
         def combo_eval(params, cpx, batch):
             out = model_ref.apply(params, batch, 1.0, None, False)
             w = self.base_weights._replace(complexity_penalty=cpx)
@@ -158,6 +183,7 @@ class VmappedGridTuner:
             return total
 
         self.grid_step = jax.jit(grid_step, donate_argnums=(0,))
+        self.scan_grid_step = jax.jit(scan_grid_step, donate_argnums=(0,))
         self.grid_eval = jax.jit(
             jax.vmap(combo_eval, in_axes=(0, 0, None))
         )
@@ -188,6 +214,9 @@ class VmappedGridTuner:
         initial_temp: float = 5.0,
         min_temp: float = 0.1,
         temp_decay: float = 0.95,
+        corpus=None,  # [N, T]: batches become [B, G] / [B, 1] index matrices
+        val_corpus=None,
+        scan_steps: int = 0,  # >1: k grid steps per dispatch (needs corpus)
     ) -> dict:
         """Train every combo simultaneously; returns best combo + curves.
 
@@ -196,20 +225,57 @@ class VmappedGridTuner:
         anneals during tuning epochs too) — tuning at a fixed temperature
         would rank combos under different sampling dynamics than the run
         they seed.
+
+        With ``corpus`` the tuner runs the same device-resident-corpus
+        path as the production trainer (``make_indexed_train_step``):
+        waveforms live in HBM once and each step ships a [B, G] int32
+        index matrix instead of B*G*T floats — at G=12/T=64000 that is
+        ~25 MB/step of H2D the tunnel cannot sustain. The gather is its
+        own tiny jit (fusing it into the grid step has crashed the remote
+        AOT compile helper at large sizes). Train losses are kept as
+        device references and drained once at the end, so the grid's
+        dispatch chain never blocks on a host fetch mid-tune.
         """
         from .train_step import anneal_temperature
+
+        gather = gather_val = None
+        if corpus is not None:
+            corpus = jax.device_put(jnp.asarray(corpus, jnp.float32))
+            vc = (
+                corpus
+                if val_corpus is None
+                else jax.device_put(jnp.asarray(val_corpus, jnp.float32))
+            )
+            gather = jax.jit(lambda c, i: c[i][:, :, None, :])  # [B,G,1,T]
+            gather_val = jax.jit(lambda c, i: c[i[:, 0]][:, None, :])  # [B,1,T]
 
         combos = _grid_combos(grid)
         state = None
         rng = jax.random.PRNGKey(seed)
         train_curve = []
+        scanned = corpus is not None and scan_steps > 1
         for epoch in range(epochs):
             temp = jnp.asarray(
                 anneal_temperature(epoch, initial_temp, min_temp, temp_decay),
                 jnp.float32,
             )
+            if scanned:
+                if state is None:
+                    state = self.init_grid(
+                        grid, (1, 1, corpus.shape[-1]), seed
+                    )
+                idx_batches = [np.asarray(b) for b in train_batches(epoch)]
+                for s in range(0, len(idx_batches), scan_steps):
+                    seg = jnp.asarray(np.stack(idx_batches[s : s + scan_steps]))
+                    state, rng, losses = self.scan_grid_step(
+                        state, seg, temp, rng, corpus
+                    )
+                    train_curve.append(losses)  # [k, K] device ref
+                continue
             for batch in train_batches(epoch):
                 batch = jnp.asarray(batch)
+                if gather is not None:
+                    batch = gather(corpus, batch)
                 if state is None:
                     state = self.init_grid(
                         grid, (1, 1, batch.shape[-1]), seed
@@ -219,12 +285,22 @@ class VmappedGridTuner:
                 state, losses = self.grid_step(
                     state, batch, temp, step_rngs
                 )
-                train_curve.append(np.asarray(losses))
+                train_curve.append(losses)  # device ref; drained below
+        # ONE drain for the whole tune; flatten scanned [k, K] stacks to
+        # per-step rows so the curve's shape matches the per-step path.
+        train_curve = [
+            row
+            for l in jax.device_get(train_curve)
+            for row in (np.asarray(l) if np.asarray(l).ndim == 2 else [np.asarray(l)])
+        ]
         val_losses = 0.0
         n_val = 0
         for batch in val_batches():
+            batch = jnp.asarray(batch)
+            if gather_val is not None:
+                batch = gather_val(vc, batch)
             val_losses = val_losses + np.asarray(
-                self.grid_eval(state.params, state.complexity_penalty, jnp.asarray(batch))
+                self.grid_eval(state.params, state.complexity_penalty, batch)
             )
             n_val += 1
         val_losses = val_losses / max(n_val, 1)
