@@ -175,6 +175,10 @@ def main() -> None:
 
     def complex_stats(epoch):
         wav, counts, spec, ssnr = probe_fwd(trainer.state.params, probe)
+        # ONE device->host drain for everything except the wav (only
+        # materialized at the start/mid/end dumps) — per-leaf fetches cost
+        # a ~100 ms round-trip each over the remote tunnel.
+        counts, spec, ssnr = jax.device_get((counts, spec, ssnr))
         counts = [np.asarray(c).mean() for c in counts]
         rec = {
             "epoch": epoch,
@@ -226,31 +230,46 @@ def main() -> None:
         else 0
     )
     for epoch in range(start_epoch, max_epochs):
+        te = time.perf_counter()
         train_loss = trainer.train_epoch(epoch)
         trainer.train_dataset.set_epoch(epoch)
         trainer.metrics.train_losses.append(train_loss)
+        t_train = time.perf_counter() - te
         val_loss = trainer.validate()
         trainer.metrics.val_losses.append(val_loss)
+        t_val = time.perf_counter() - te - t_train
         trainer.metrics.save(out / "checkpoints")
         wav, stats = complex_stats(epoch)
         if epoch == max_epochs // 2:
             save_wav(out / "sample_epoch_mid.wav", np.asarray(wav[0]), 16000)
+        tc = time.perf_counter()
         if val_loss < best_val:
             best_val = val_loss
             trainer.metrics.best_val_loss = val_loss
             trainer.metrics.best_epoch = epoch
-            trainer.save_checkpoint("best", epoch=epoch)
             patience = 0
+            # Improving epoch: best == latest — ONE device fetch, two names
+            # (the 198 MB D2H is ~5 s over the tunnel; don't pay it twice).
+            names = ("best", "latest")
         else:
             patience += 1
-        # Durable per-epoch snapshot so --resume loses at most one epoch
-        # (the "best" save alone can be many epochs stale under patience).
-        trainer.save_checkpoint("latest", epoch=epoch)
+            # Durable per-epoch snapshot so --resume loses at most one epoch
+            # (the "best" save alone can be many epochs stale under patience).
+            names = ("latest",)
+        trainer.save_checkpoint(
+            names, epoch=epoch, block=not trainer.cfg.async_checkpoint
+        )
+        t_ckpt = time.perf_counter() - tc
         emit(stage="epoch", epoch=epoch, train_loss=round(train_loss, 4),
-             val_loss=round(val_loss, 4), **{k: v for k, v in stats.items() if k != "epoch"})
+             val_loss=round(val_loss, 4),
+             **{k: v for k, v in stats.items() if k != "epoch"},
+             train_s=round(t_train, 2), val_s=round(t_val, 2),
+             ckpt_s=round(t_ckpt, 2),
+             epoch_s=round(time.perf_counter() - te, 2))
         if patience >= cfg.patience:
             emit(stage="early_stop", epoch=epoch)
             break
+    trainer.finish_checkpoints()  # last async save durable before exit
     wav_end, _ = complex_stats("final")
     save_wav(out / "sample_epoch_end.wav", np.asarray(wav_end[0]), 16000)
     emit(

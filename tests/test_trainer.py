@@ -117,6 +117,44 @@ def test_trainer_kill_and_resume_identical(tmp_path, model, datasets):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
 
 
+def test_async_checkpoint_snapshot_isolation(tmp_path, model, datasets):
+    """An async (block=False) save must capture the state AT CALL TIME:
+    the background thread works on a device-side copy, so the next
+    epoch's donated train-step buffers can't corrupt or race the save."""
+    import jax
+
+    train, val = datasets
+    trainer = Trainer(model, train, val, config=_config(tmp_path))
+    trainer.state = trainer.init_state()
+    params_at_save = jax.device_get(trainer.state.params)
+    trainer.save_checkpoint("snap", epoch=0, block=False)
+    trainer.train_epoch(0)  # donates the old state buffers while in flight
+    trainer.finish_checkpoints()
+
+    t2 = Trainer(model, train, val, config=_config(tmp_path))
+    t2.load_checkpoint("snap")
+    for a, b in zip(
+        jax.tree.leaves(params_at_save), jax.tree.leaves(t2.state.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_swap_fallback(tmp_path):
+    """Overwrite is crash-safe: a kill between the old checkpoint's
+    removal and the swap rename leaves a complete ``<name>.swap`` that
+    ``exists``/``restore`` fall back to (Orbax's own force=True deletes
+    the old dir BEFORE writing — that window would lose the snapshot)."""
+    from topo_audio_autoencoder_tpu.training import CheckpointManager
+
+    ckpt = CheckpointManager(tmp_path / "ck")
+    ckpt.save("latest", {"a": np.arange(3)})
+    final = tmp_path / "ck" / "latest"
+    final.rename(tmp_path / "ck" / "latest.swap")  # simulate the crash
+    assert ckpt.exists("latest")
+    restored = ckpt.restore("latest")
+    np.testing.assert_array_equal(np.asarray(restored["a"]), np.arange(3))
+
+
 def test_validate_scores_every_clip(tmp_path, model, datasets):
     """Validation must not drop remainder clips: a val set of 5 at batch 2
     scores all 5 (VERDICT r1 weak item 5)."""

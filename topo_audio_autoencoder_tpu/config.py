@@ -74,6 +74,9 @@ class TrainConfig:
     # TrainerConfig.scan_steps — on a remote-TPU transport small-batch
     # epochs are dispatch-bound without it.
     scan_steps: int = 0
+    # End-of-epoch checkpoints on a background thread (device-side state
+    # snapshot; see TrainerConfig.async_checkpoint).
+    async_checkpoint: bool = True
 
 
 @dataclass

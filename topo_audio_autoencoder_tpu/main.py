@@ -128,6 +128,7 @@ def main(argv: list[str] | None = None) -> None:
             data_parallel=t.n_devices is not None and t.n_devices > 1,
             n_devices=t.n_devices,
             scan_steps=t.scan_steps,
+            async_checkpoint=t.async_checkpoint,
         ),
     )
     grid = (

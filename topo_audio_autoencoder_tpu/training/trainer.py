@@ -98,6 +98,11 @@ class TrainerConfig:
     # epochs are dispatch-bound without this; a scanned segment runs K
     # steps back-to-back on device with zero host involvement.
     scan_steps: int = 0
+    # End-of-epoch checkpoints run on a background thread against a
+    # device-side snapshot of the state (the D2H fetch + serialize of the
+    # flagship state is ~8 s — measured to dominate the epoch otherwise).
+    # The snapshot copy makes this safe under donated train-step buffers.
+    async_checkpoint: bool = True
 
 
 class Trainer:
@@ -132,6 +137,8 @@ class Trainer:
             self.mesh = None
         self._build(config.encoder_lr, config.decoder_lr, config.complexity_penalty)
         self.state: TrainState | None = None
+        self._ckpt_thread = None  # at most one async save in flight
+        self._snapshot_fn = None  # lazy: jitted device-side state copy
 
     # ------------------------------------------------------------ setup
 
@@ -446,19 +453,26 @@ class Trainer:
             self.metrics.val_losses.append(val_loss)
             self.metrics.save(self.checkpoint_dir)
 
+            names: tuple[str, ...] = ("latest",)
             if val_loss < best_val:
                 best_val = val_loss
                 self.metrics.best_val_loss = val_loss
                 self.metrics.best_epoch = epoch
-                self.save_checkpoint("best", epoch=epoch)
                 patience_counter = 0
+                names = ("best", "latest")  # identical state: ONE D2H fetch
             else:
                 patience_counter += 1
-            self.save_checkpoint("latest", epoch=epoch)
+            if (
+                patience_counter < cfg.patience
+                and epoch % cfg.checkpoint_every_epochs == 0
+            ):
+                names = names + (f"epoch_{epoch}",)
+            self.save_checkpoint(
+                names, epoch=epoch, block=not cfg.async_checkpoint
+            )
             if patience_counter >= cfg.patience:
                 break
-            if epoch % cfg.checkpoint_every_epochs == 0:
-                self.save_checkpoint(f"epoch_{epoch}", epoch=epoch)
+        self.finish_checkpoints()
         # Held-out evaluation with the best weights, scored exactly once.
         if self.test_dataset is not None:
             ckpt = CheckpointManager(self.checkpoint_dir)
@@ -583,15 +597,31 @@ class Trainer:
     # ------------------------------------------------------------ io
 
     def save_checkpoint(
-        self, name: str, directory: Path | None = None, epoch: int | None = None
+        self,
+        name: str | tuple[str, ...],
+        directory: Path | None = None,
+        epoch: int | None = None,
+        block: bool = True,
     ):
         """Checkpoint = device state (params/opt-state/step, Orbax) + host
         snapshot sidecar. With ``epoch`` set, the sidecar carries the full
         resume payload: metrics, epoch, dataset curriculum epoch, and the
         host PRNG key (the reference saves model/optimizer/metrics/
         hyperparams, trainer.py:417-432; curriculum + RNG are additions the
-        reference forgets and silently resets on restore)."""
-        ckpt = CheckpointManager(directory or self.checkpoint_dir)
+        reference forgets and silently resets on restore).
+
+        ``name`` may be a tuple (e.g. ``("best", "latest")``): the state is
+        fetched device→host ONCE and written under every name. The fetch is
+        the expensive part — ~6 s for a 198 MB state at the remote tunnel's
+        D2H bandwidth — so an improving epoch that snapshots both "best"
+        and "latest" must not pay it twice.
+
+        ``block=False`` runs the fetch + serialize on a background thread
+        against a jitted device-side COPY of the state (the live buffers
+        are donated to the next train step, so the thread must never hold
+        them); the epoch loop only pays the copy dispatch. At most one
+        save is in flight — the next save (or ``finish_checkpoints`` /
+        any restore) joins it first, re-raising any failure."""
         extra = dict(self.hyper)
         if epoch is not None:
             from dataclasses import asdict
@@ -602,9 +632,51 @@ class Trainer:
                 "dataset_epoch": self.train_dataset.epoch,
                 "rng_key": np.asarray(self.rng).tolist(),
             }
-        ckpt.save(name, self.state, extra=extra)
+        names = (name,) if isinstance(name, str) else name
+        directory = directory or self.checkpoint_dir
+
+        def _write(state):
+            ckpt = CheckpointManager(directory)
+            host_state = jax.device_get(state)
+            for n in names:
+                ckpt.save(n, host_state, extra=extra)
+
+        self.finish_checkpoints()
+        if block:
+            _write(self.state)
+            return
+        if self._snapshot_fn is None:
+            self._snapshot_fn = jax.jit(
+                lambda s: jax.tree.map(jnp.copy, s)
+            )
+        snap = self._snapshot_fn(self.state)
+
+        def _guarded():
+            try:
+                _write(snap)
+            except BaseException as e:  # surfaced by finish_checkpoints
+                self._ckpt_error = e
+
+        import threading
+
+        self._ckpt_error = None
+        self._ckpt_thread = threading.Thread(target=_guarded, name="ckpt-save")
+        self._ckpt_thread.start()
+
+    def finish_checkpoints(self):
+        """Join the in-flight async checkpoint save, re-raising its error.
+
+        Called before every restore (the newest snapshot must be durable
+        first), before the next save, and at the end of ``train()``."""
+        t, self._ckpt_thread = self._ckpt_thread, None
+        if t is not None:
+            t.join()
+            err, self._ckpt_error = getattr(self, "_ckpt_error", None), None
+            if err is not None:
+                raise err
 
     def load_checkpoint(self, name: str, directory: Path | None = None):
+        self.finish_checkpoints()  # the newest snapshot must be durable
         ckpt = CheckpointManager(directory or self.checkpoint_dir)
         if self.state is None:
             self.state = self.init_state()
