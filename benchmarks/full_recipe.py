@@ -16,6 +16,11 @@ two compiles.
 
 Usage: python benchmarks/full_recipe.py [--quick] [--epochs N] [--corpus N]
        [--resume]  # continue an interrupted run from <out>/checkpoints/best
+       [--enc-lr X --dec-lr X --cpx X]  # pin the grid to ONE combo: the
+           # tune stage still runs (it provides the warm start), but at
+           # fixed hyperparameters — for matched-hyperparameter
+           # corpus-scaling comparisons (the tuner otherwise picks
+           # different combos per corpus)
 """
 
 from __future__ import annotations
@@ -97,6 +102,13 @@ def main() -> None:
     t = 16000 if quick else 64000
     batch = 8 if quick else 16
     scan_steps = _arg("--scan", 0 if quick else 16)
+    # Fixed hyperparameters (all three given) pin the grid to one combo.
+    fixed = (
+        _arg("--enc-lr", None, float),
+        _arg("--dec-lr", None, float),
+        _arg("--cpx", None, float),
+    )
+    fixed = fixed if all(v is not None for v in fixed) else None
     out = Path(_arg("--out", "benchmarks/quality_run", str))
     out.mkdir(parents=True, exist_ok=True)
 
@@ -208,6 +220,12 @@ def main() -> None:
             "decoder_lr": [1e-3, 3e-4],
             "complexity_penalty": [0.05, 0.1],
         }
+        if fixed is not None:
+            grid = {
+                "encoder_lr": [fixed[0]],
+                "decoder_lr": [fixed[1]],
+                "complexity_penalty": [fixed[2]],
+            }
         full_batch = trainer.cfg.batch_size
         trainer.cfg.batch_size = min(8, full_batch)
         best = trainer.tune_hyperparameters_vmapped(grid)
