@@ -21,6 +21,13 @@ Usage: python benchmarks/full_recipe.py [--quick] [--epochs N] [--corpus N]
            # fixed hyperparameters — for matched-hyperparameter
            # corpus-scaling comparisons (the tuner otherwise picks
            # different combos per corpus)
+       [--vertices N --hidden C --layers L]  # model-capacity axes
+           # (default 20/64/6, the reference architecture). The round-3
+           # corpus-scaling study showed the flagship is latent-capacity
+           # bound past ~2k clips; --vertices 32 trains the 41,448-simplex
+           # hierarchy the reference's dynamic-sparse design cannot. Pin
+           # the combo (--enc-lr ...) for large models: the vmapped tune
+           # holds the whole grid's activations in HBM at once.
 """
 
 from __future__ import annotations
@@ -99,7 +106,9 @@ def main() -> None:
     # decoder, and raise the epoch/patience budget so annealing + patience
     # don't kill the run before the update count is out of the probe's
     # warm-up regime.
-    t = 16000 if quick else 64000
+    # Quick length must be divisible by n_bands * 16 (the decoder's four
+    # x2 upsamples fix the per-band output length to a multiple of 16).
+    t = 16384 if quick else 64000
     batch = 8 if quick else 16
     scan_steps = _arg("--scan", 0 if quick else 16)
     # Fixed hyperparameters (all three given) pin the grid to one combo.
@@ -126,8 +135,16 @@ def main() -> None:
         config=ContrastiveConfig(),  # G = 12: the dataset default
     )
     val_ds = NSynthDataset(val_wavs, train=False)
+    n_vertices = _arg("--vertices", 20)
     model = AudioAutoencoder.create(
-        num_vertices=20, num_bands=16, sccn_hidden_dim=64, n_sccn_layers=6
+        num_vertices=n_vertices,
+        num_bands=16,
+        sccn_hidden_dim=_arg("--hidden", 64),
+        n_sccn_layers=_arg("--layers", 6),
+        # The reference's 8/20 band means "all 20 vertices may be active";
+        # scale the ceiling with n so a larger hierarchy is not penalized
+        # down to the flagship's effective size (vertex_count_penalty).
+        max_active_vertices=n_vertices,
     )
     on_tpu = jax.default_backend() != "cpu"
     trainer = Trainer(
@@ -162,8 +179,14 @@ def main() -> None:
         if log.exists() and log.stat().st_size:
             log.rename(log.with_name("train_log_prev.jsonl"))
 
-    # fixed probe batch for per-epoch complex statistics + audio dumps
+    # fixed probe batch for per-epoch complex statistics + audio dumps,
+    # plus a held-out val probe: probe_spectral measures memorization,
+    # val_spectral generalization on a PURE spectral metric (the val
+    # total also carries the complexity/entropy penalties, whose scale
+    # moves with the model's simplex count — not comparable across
+    # capacity axes).
     probe = jnp.asarray(train_wavs[:4])[:, None, :]
+    val_probe = jnp.asarray(val_wavs[:4])[:, None, :]
 
     from topo_audio_autoencoder_tpu.ops.stft import spectral_distance, stft_magnitude
 
@@ -187,14 +210,16 @@ def main() -> None:
 
     def complex_stats(epoch):
         wav, counts, spec, ssnr = probe_fwd(trainer.state.params, probe)
+        _, _, vspec, _ = probe_fwd(trainer.state.params, val_probe)
         # ONE device->host drain for everything except the wav (only
         # materialized at the start/mid/end dumps) — per-leaf fetches cost
         # a ~100 ms round-trip each over the remote tunnel.
-        counts, spec, ssnr = jax.device_get((counts, spec, ssnr))
+        counts, spec, ssnr, vspec = jax.device_get((counts, spec, ssnr, vspec))
         counts = [np.asarray(c).mean() for c in counts]
         rec = {
             "epoch": epoch,
             "probe_spectral": round(float(spec), 4),
+            "val_spectral": round(float(vspec), 4),
             "probe_spectral_snr_db": round(float(ssnr), 3),
             "active_vertices": round(float(counts[0]), 2),
             "active_edges": round(float(counts[1]), 2),
@@ -288,6 +313,9 @@ def main() -> None:
             emit(stage="early_stop", epoch=epoch)
             break
     trainer.finish_checkpoints()  # last async save durable before exit
+    # metrics.save inside the loop runs BEFORE the best-val update for that
+    # epoch; re-save so the on-disk best fields match the final state.
+    trainer.metrics.save(out / "checkpoints")
     wav_end, _ = complex_stats("final")
     save_wav(out / "sample_epoch_end.wav", np.asarray(wav_end[0]), 16000)
     emit(

@@ -293,7 +293,9 @@ class VmappedGridTuner:
             for l in jax.device_get(train_curve)
             for row in (np.asarray(l) if np.asarray(l).ndim == 2 else [np.asarray(l)])
         ]
-        val_losses = 0.0
+        # Array (not scalar) accumulator: a corpus smaller than one val
+        # batch yields zero batches, and argmin/tolist must still work.
+        val_losses = np.zeros(len(combos))
         n_val = 0
         for batch in val_batches():
             batch = jnp.asarray(batch)
