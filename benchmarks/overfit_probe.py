@@ -14,6 +14,10 @@ there is a modeling bug worth hunting.
 Prints one JSON line per probe stage; artifacts in --out.
 
 Usage: python benchmarks/overfit_probe.py [--steps N] [--lr F] [--temp F]
+       [--vertices N --hidden C --layers L]  # capacity axes (default
+           # 20/64/6, the reference architecture); --vertices 32 probes
+           # learning on the 41,448-simplex hierarchy the reference's
+           # dynamic-sparse design cannot train. Artifacts keyed by axes.
 """
 
 from __future__ import annotations
@@ -56,6 +60,9 @@ def main() -> None:
     scan = int(_arg("--scan", 100))
     lr = _arg("--lr", 1e-3)
     temp_v = _arg("--temp", 1.0)
+    n_vertices = int(_arg("--vertices", 20))
+    hidden = int(_arg("--hidden", 64))
+    layers = int(_arg("--layers", 6))
     b, t = 8, 64000
     out = Path("benchmarks/probe_out")
     out.mkdir(parents=True, exist_ok=True)
@@ -65,7 +72,11 @@ def main() -> None:
 
     on_tpu = jax.default_backend() != "cpu"
     model = AudioAutoencoder.create(
-        num_vertices=20, num_bands=16, sccn_hidden_dim=64, n_sccn_layers=6
+        num_vertices=n_vertices, num_bands=16, sccn_hidden_dim=hidden,
+        n_sccn_layers=layers,
+        # Match full_recipe.py: scale the active-vertex ceiling with n so a
+        # larger hierarchy is not penalized down to the flagship's size.
+        max_active_vertices=n_vertices,
     )
     opt = make_optimizer(
         encoder_lr=lr, decoder_lr=lr, accumulate_grad_batches=1
@@ -123,13 +134,19 @@ def main() -> None:
 
     l1, snr1 = (float(v) for v in jax.device_get(recon_stats(state.params, batch)))
     emit(stage="done", steps=steps, lr=lr, temp=temp_v,
+         vertices=n_vertices, hidden=hidden, layers=layers,
          spectral_start=round(curve[0], 4), spectral_end=round(curve[-1], 4),
          drop_pct=round(100 * (1 - curve[-1] / curve[0]), 1),
          final_snr_db=round(snr1, 3), init_snr_db=round(snr0, 3),
          wrong_clip_spectral=round(wrong_loss, 4),
          seconds=round(time.time() - t0, 1))
-    (out / "overfit_curve.json").write_text(json.dumps(
-        {"lr": lr, "temp": temp_v, "spectral": curve}))
+    tag = (
+        "" if (n_vertices, hidden, layers) == (20, 64, 6)
+        else f"_n{n_vertices}_c{hidden}_l{layers}"
+    )
+    (out / f"overfit_curve{tag}.json").write_text(json.dumps(
+        {"lr": lr, "temp": temp_v, "vertices": n_vertices, "hidden": hidden,
+         "layers": layers, "spectral": curve}))
 
 
 if __name__ == "__main__":

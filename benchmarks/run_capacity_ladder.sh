@@ -12,11 +12,22 @@
 set -u
 cd "$(dirname "$0")/.."
 
+# TPU hand-back deadline (UTC epoch): the driver's round-end bench.py must
+# not collide with a live TPU client (round 2's BENCH rc=124 was exactly
+# that). Runs are clamped to the time left and skipped entirely when
+# under 10 minutes remain.
+DEADLINE=${LADDER_DEADLINE:-$(date -u -d "2026-08-19 15:05" +%s)}
+
 run() {
   local out="$1" tmo="$2"; shift 2
   local log="/tmp/cap_$(basename "$out").log"
   if grep -qs '"stage": "done"' "$log" 2>/dev/null; then
     echo "SKIP $out (already done)"; return 0
+  fi
+  local left=$(( DEADLINE - $(date -u +%s) ))
+  [ "$tmo" -gt "$left" ] && tmo=$left
+  if [ "$tmo" -lt 600 ]; then
+    echo "SKIP $out (deadline: ${left}s left)"; return 0
   fi
   local resume=""
   [ -d "benchmarks/$out/checkpoints" ] && resume="--resume"
@@ -27,7 +38,15 @@ run() {
   echo "=== $(date -u +%H:%M:%S) END $out rc=$? ==="
 }
 
-run capacity_n20_c64  7200                # A: baseline (resumes from epoch 3)
+run capacity_n20_c64  7200                # A: baseline (resumes)
 run capacity_n20_c128 10800 --hidden 128  # B: width axis
-run capacity_n20_c64_l9 9000 --layers 9   # D: depth axis (cheap)
+# Latent-capacity probe at n=32 (the axis a full quality run is too slow
+# for): can the 41,448-simplex hierarchy memorize a batch as well as n=20?
+if [ $(( DEADLINE - $(date -u +%s) )) -ge 1800 ]; then
+  echo "=== $(date -u +%H:%M:%S) START overfit probe n=32 ==="
+  timeout 1700 python benchmarks/overfit_probe.py --vertices 32 \
+    --steps 2000 --scan 100 >> /tmp/cap_probe_n32.log 2>&1
+  echo "=== $(date -u +%H:%M:%S) END probe rc=$? ==="
+fi
+run capacity_n20_c64_l9 9000 --layers 9   # D: depth axis (if time allows)
 echo "=== LADDER COMPLETE $(date -u +%H:%M:%S) ==="

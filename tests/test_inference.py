@@ -5,7 +5,13 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from topo_audio_autoencoder_tpu.inference import Codec, load_params, save_params
+from topo_audio_autoencoder_tpu.inference import (
+    Codec,
+    load_params,
+    pack_latent,
+    save_params,
+    unpack_latent,
+)
 from topo_audio_autoencoder_tpu.models import AudioAutoencoder
 
 T = 4096
@@ -55,6 +61,28 @@ def test_latent_respects_closure(setup):
     assert v["edge_zero_face"] == 0.0
     assert v["triangle_zero_face"] == 0.0
     assert v["tetra_zero_face"] == 0.0
+
+
+def test_latent_bitstream_roundtrip(setup):
+    """pack -> unpack is lossless and the wire size is ceil(S_total/8)
+    bytes per clip (6 vertices: 6+15+20+15 = 56 bits = 7 bytes)."""
+    model, params, x = setup
+    codec = Codec(model, params)
+    lat = codec.encode(x)
+    wire = pack_latent(lat)
+    total = sum(model.tables.sizes)
+    assert wire.dtype == np.uint8
+    assert wire.shape == (2, (total + 7) // 8)
+    lat2 = unpack_latent(wire, model.tables.num_vertices)
+    for a, b in zip(lat.ranks, lat2.ranks):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # The decoded waveform from the unpacked latent is the decoded
+    # waveform from the original latent: the bitstream IS the code.
+    np.testing.assert_allclose(
+        np.asarray(codec.decode(lat2, T)),
+        np.asarray(codec.decode(lat, T)),
+        atol=1e-6,
+    )
 
 
 def test_params_roundtrip(tmp_path, setup):

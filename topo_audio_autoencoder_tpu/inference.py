@@ -12,17 +12,24 @@ waveform — plus persistence. This module provides:
   operators from the latent alone (no encoder re-run) — proving the
   latent is a *sufficient* code.
 - ``Codec.reconstruct``: fused jitted encode+decode.
+- ``pack_latent`` / ``unpack_latent``: the wire format — one bit per
+  simplex, ``ceil((n + C(n,2) + C(n,3) + C(n,4)) / 8)`` bytes per clip
+  (n=20: 6,195 bits = 775 bytes for 4 s of 16 kHz audio ≈ 1.55 kbit/s).
+  Lossless for eval-path latents: thresholding yields exact {0,1} probs
+  and rectification (min / geometric mean) maps binaries to binaries.
 - ``save_params`` / ``load_params``: Orbax round trip.
 """
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from pathlib import Path
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .models.autoencoder import AudioAutoencoder
 from .topology.builder import build_operators
@@ -97,6 +104,32 @@ class Codec:
 
     def reconstruct(self, x: jnp.ndarray) -> jnp.ndarray:
         return self._reconstruct(self.params, x)
+
+
+def pack_latent(latent: SimplicialLatent) -> np.ndarray:
+    """Binary latent -> ``[..., ceil(S_total/8)]`` uint8 bitstream.
+
+    Ranks concatenate in order (vertices, edges, triangles, tetra) along
+    the last axis before packing, so the bit layout matches the flat
+    logit order (reference: encoder.py:291-297 ``split_simplices``).
+    """
+    bits = np.concatenate(
+        [np.asarray(r) > 0 for r in latent.ranks], axis=-1
+    )
+    return np.packbits(bits.astype(np.uint8), axis=-1)
+
+
+def unpack_latent(
+    packed: np.ndarray, num_vertices: int, dtype=jnp.float32
+) -> SimplicialLatent:
+    """Inverse of :func:`pack_latent` for a complete complex on
+    ``num_vertices`` vertices (rank sizes are the binomials C(n, k+1))."""
+    sizes = [math.comb(num_vertices, k) for k in range(1, 5)]
+    bits = np.unpackbits(
+        np.asarray(packed, dtype=np.uint8), axis=-1, count=sum(sizes)
+    )
+    splits = np.split(bits, np.cumsum(sizes)[:-1], axis=-1)
+    return SimplicialLatent(*(jnp.asarray(s, dtype=dtype) for s in splits))
 
 
 def save_params(directory: str | Path, params, name: str = "params") -> None:
