@@ -12,6 +12,16 @@
 set -u
 cd "$(dirname "$0")/.."
 
+# Record our own PID for the kill protocol (`setsid` may fork, so the
+# launcher's $! is not reliably this shell). Refuse to double-start:
+# two concurrent recipes corrupt the shared checkpoint dir AND the
+# one-client TPU tunnel.
+if [ -f /tmp/ladder.pid ] && kill -0 "$(cat /tmp/ladder.pid)" 2>/dev/null; then
+  echo "ladder already running (pid $(cat /tmp/ladder.pid)); refusing to double-start"
+  exit 1
+fi
+echo $$ > /tmp/ladder.pid
+
 # TPU hand-back deadline (UTC epoch): the driver's round-end bench.py must
 # not collide with a live TPU client (round 2's BENCH rc=124 was exactly
 # that). Runs are clamped to the time left and skipped entirely when
