@@ -65,10 +65,22 @@ def resume_run(trainer, out: Path) -> int:
     from topo_audio_autoencoder_tpu.training import CheckpointManager
 
     ckpt = CheckpointManager(out / "checkpoints")
-    name = next((n for n in ("latest", "best") if ckpt.exists(n)), None)
-    if name is None:
+    # A kill mid-save can leave a truncated snapshot (restore raises on
+    # missing leaves); fall back to the next-freshest durable name rather
+    # than crashing the whole recipe — resuming from "best" loses at most
+    # the epochs since the last val improvement.
+    start_epoch = 0
+    for name in ("latest", "best"):
+        if not ckpt.exists(name):
+            continue
+        try:
+            start_epoch = trainer.resume_from(name) + 1
+            break
+        except Exception as e:
+            print(json.dumps({"stage": "resume_skip", "name": name,
+                              "error": type(e).__name__}), flush=True)
+    if start_epoch == 0:
         return 0
-    start_epoch = trainer.resume_from(name) + 1
     stats_file = out / "complex_stats.jsonl"
     if stats_file.exists():
         kept = [

@@ -1,0 +1,69 @@
+"""Codec CLI round trip: wav -> .tac bitstream -> wav."""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from topo_audio_autoencoder_tpu.codec_cli import main as cli_main
+from topo_audio_autoencoder_tpu.codec_cli import read_tac
+from topo_audio_autoencoder_tpu.data.preprocess import load_wav, save_wav
+from topo_audio_autoencoder_tpu.inference import (
+    Codec,
+    save_params,
+    unpack_latent,
+)
+from topo_audio_autoencoder_tpu.models import AudioAutoencoder
+
+T = 4096
+GEOM = ["--vertices", "6", "--bands", "4", "--hidden", "16", "--layers", "2"]
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("codec_cli")
+    model = AudioAutoencoder.create(
+        num_vertices=6, num_bands=4, sccn_hidden_dim=16, n_sccn_layers=2,
+        max_active_vertices=6,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 1, T))
+    params = model.init(
+        {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+        x, 1.0, jax.random.PRNGKey(3), True,
+    )
+    save_params(root / "params", params)
+    wavs = []
+    for i in range(2):
+        p = root / f"in_{i}.wav"
+        save_wav(p, np.asarray(x[i]) * 0.1, 16000)  # headroom for int16
+        wavs.append(str(p))
+    return model, params, root, wavs
+
+
+def test_encode_decode_roundtrip(setup, capsys):
+    model, params, root, wavs = setup
+    tac = root / "clips.tac"
+    cli_main(["encode", str(tac), *wavs, "--params", str(root / "params"),
+              *GEOM, "--batch", "2"])
+    enc_report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    packed, header = read_tac(tac)
+    total = sum(model.tables.sizes)  # 6 + 15 + 20 + 15 = 56 bits
+    assert packed.shape == (2, (total + 7) // 8)
+    assert enc_report["bytes_per_clip"] == (total + 7) // 8
+    assert header["vertices"] == 6 and header["num_samples"] == T
+
+    out_dir = root / "recon"
+    cli_main(["decode", str(tac), str(out_dir),
+              "--params", str(root / "params"), "--batch", "2"])
+    files = sorted(out_dir.glob("clip_*.wav"))
+    assert len(files) == 2
+
+    # The CLI output must equal a direct Codec decode of the same
+    # bitstream (within the wav container's int16 quantization).
+    lat = unpack_latent(packed, 6)
+    direct = np.asarray(Codec(model, params).decode(lat, T))
+    for j, f in enumerate(files):
+        got = load_wav(f)
+        want = np.clip(direct[j, 0], -1.0, 1.0)
+        np.testing.assert_allclose(got, want, atol=2.0 / 32768.0)

@@ -1,0 +1,228 @@
+"""Codec CLI: wav files <-> bit-packed simplicial-latent bitstreams.
+
+The user-facing surface of the codec view (``inference.Codec``) the
+reference exposes only as a Python forward pass (reference:
+audio2complex.py:40-58). Three commands over the ``.tac`` container:
+
+  encode     wavs -> one .tac bitstream file (~775 B per 4 s clip at n=20)
+  decode     .tac -> reconstructed wavs
+  roundtrip  wav -> wav through the codec (encode + decode in one run)
+
+``.tac`` container: magic ``TAC1`` + u32 header length + JSON header
+(model geometry, clip count/length, sample rate) + the ``pack_latent``
+bytes, clips concatenated. The header carries everything ``decode``
+needs besides the trained parameters.
+
+Parameters come from either source:
+
+  --params DIR        a ``save_params`` directory (bare variables dict)
+  --checkpoint DIR    a Trainer run's checkpoint dir; ``--name`` picks the
+                      snapshot (default ``best``), params are read out of
+                      the saved train state.
+
+Model geometry is NOT stored in checkpoints (the reference hard-codes it,
+main.py:272-278); pass --vertices/--hidden/--layers/--bands for
+non-default architectures — encode stamps them into the header and
+decode rebuilds the same model.
+
+Usage:
+    python -m topo_audio_autoencoder_tpu.codec_cli encode out.tac a.wav b.wav \
+        --checkpoint runs/checkpoints --name best
+    python -m topo_audio_autoencoder_tpu.codec_cli decode out.tac recon_dir/
+    python -m topo_audio_autoencoder_tpu.codec_cli roundtrip in.wav out.wav \
+        --params params_dir
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import struct
+import sys
+from pathlib import Path
+
+import numpy as np
+
+MAGIC = b"TAC1"
+
+
+def write_tac(path, packed: np.ndarray, header: dict) -> None:
+    """``packed`` is the [num_clips, bytes_per_clip] uint8 wire format."""
+    head = json.dumps(header).encode("utf-8")
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(struct.pack("<I", len(head)))
+        f.write(head)
+        f.write(np.ascontiguousarray(packed, dtype=np.uint8).tobytes())
+
+
+def read_tac(path) -> tuple[np.ndarray, dict]:
+    raw = Path(path).read_bytes()
+    if raw[:4] != MAGIC:
+        raise ValueError(f"{path}: not a .tac file (bad magic {raw[:4]!r})")
+    (hlen,) = struct.unpack("<I", raw[4:8])
+    header = json.loads(raw[8 : 8 + hlen].decode("utf-8"))
+    body = np.frombuffer(raw[8 + hlen :], dtype=np.uint8)
+    packed = body.reshape(header["num_clips"], header["bytes_per_clip"])
+    return packed, header
+
+
+def _build_model(args_or_header):
+    from .models import AudioAutoencoder
+
+    get = (
+        args_or_header.get
+        if isinstance(args_or_header, dict)
+        else lambda k, d=None: getattr(args_or_header, k)
+    )
+    n = get("vertices", 20)
+    return AudioAutoencoder.create(
+        num_vertices=n,
+        num_bands=get("bands", 16),
+        sccn_hidden_dim=get("hidden", 64),
+        n_sccn_layers=get("layers", 6),
+        max_active_vertices=n,
+    )
+
+
+def _load_params(args):
+    from .training.checkpoint import CheckpointManager
+
+    if args.params:
+        return CheckpointManager(args.params).restore(args.name or "params")
+    if args.checkpoint:
+        state = CheckpointManager(args.checkpoint).restore(args.name or "best")
+        # Trainer checkpoints hold the full train state; the apply-ready
+        # variables dict sits under "params" (flax TrainState layout).
+        return state["params"] if "params" in state else state
+    raise SystemExit("one of --params / --checkpoint is required")
+
+
+def _codec(args, header: dict | None = None):
+    from .inference import Codec
+
+    model = _build_model(header if header is not None else args)
+    return model, Codec(model, _load_params(args))
+
+
+def _load_clips(paths, num_bands: int, sample_rate: int) -> np.ndarray:
+    """Load + pad to one [N, 1, T] batch; T is the longest clip rounded up
+    to the decoder's granularity (num_bands * 16: four x2 upsamples fix
+    the per-band length to a multiple of 16)."""
+    from .data.preprocess import load_wav
+
+    clips = [load_wav(p, sample_rate) for p in paths]
+    gran = num_bands * 16
+    t = max(len(c) for c in clips)
+    t = ((t + gran - 1) // gran) * gran
+    batch = np.zeros((len(clips), 1, t), dtype=np.float32)
+    for i, c in enumerate(clips):
+        batch[i, 0, : len(c)] = c
+    return batch
+
+
+def cmd_encode(args) -> None:
+    from .inference import pack_latent
+
+    model, codec = _codec(args)
+    batch = _load_clips(args.wavs, model.pqmf.n_band, args.sample_rate)
+    wire = []
+    for i in range(0, len(batch), args.batch):  # bound device memory
+        wire.append(pack_latent(codec.encode(batch[i : i + args.batch])))
+    wire = np.concatenate(wire, axis=0)
+    header = {
+        "vertices": model.tables.num_vertices,
+        "bands": model.pqmf.n_band,
+        "hidden": args.hidden,
+        "layers": args.layers,
+        "num_clips": int(wire.shape[0]),
+        "bytes_per_clip": int(wire.shape[1]),
+        "num_samples": int(batch.shape[-1]),
+        "sample_rate": args.sample_rate,
+    }
+    write_tac(args.out, wire, header)
+    kbps = wire.shape[1] * 8 * args.sample_rate / batch.shape[-1] / 1000.0
+    print(json.dumps({
+        "clips": header["num_clips"],
+        "bytes_per_clip": header["bytes_per_clip"],
+        "kbit_per_sec": round(kbps, 3),
+        "out": str(args.out),
+    }))
+
+
+def cmd_decode(args) -> None:
+    from .data.preprocess import save_wav
+    from .inference import unpack_latent
+
+    packed, header = read_tac(args.tac)
+    model, codec = _codec(args, header)
+    out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    written = []
+    for i in range(0, len(packed), args.batch):
+        lat = unpack_latent(packed[i : i + args.batch], header["vertices"])
+        wav = np.asarray(codec.decode(lat, header["num_samples"]))
+        for j in range(wav.shape[0]):
+            p = out_dir / f"clip_{i + j:04d}.wav"
+            save_wav(p, wav[j], header["sample_rate"])
+            written.append(str(p))
+    print(json.dumps({"clips": len(written), "out_dir": str(out_dir)}))
+
+
+def cmd_roundtrip(args) -> None:
+    from .data.preprocess import save_wav
+    from .inference import pack_latent, unpack_latent
+
+    model, codec = _codec(args)
+    batch = _load_clips([args.wav], model.pqmf.n_band, args.sample_rate)
+    wire = pack_latent(codec.encode(batch))
+    lat = unpack_latent(wire, model.tables.num_vertices)
+    wav = np.asarray(codec.decode(lat, batch.shape[-1]))[0]
+    save_wav(args.out, wav, args.sample_rate)
+    print(json.dumps({
+        "bytes": int(wire.shape[1]),
+        "num_samples": int(batch.shape[-1]),
+        "out": str(args.out),
+    }))
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="topo_audio_autoencoder_tpu.codec_cli")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, geometry: bool):
+        sp.add_argument("--params", help="save_params directory")
+        sp.add_argument("--checkpoint", help="Trainer checkpoint directory")
+        sp.add_argument("--name", help="snapshot name (default best/params)")
+        sp.add_argument("--batch", type=int, default=16)
+        sp.add_argument("--sample-rate", type=int, default=16000)
+        if geometry:  # decode reads geometry from the .tac header instead
+            sp.add_argument("--vertices", type=int, default=20)
+            sp.add_argument("--bands", type=int, default=16)
+        sp.add_argument("--hidden", type=int, default=64)
+        sp.add_argument("--layers", type=int, default=6)
+
+    e = sub.add_parser("encode", help="wavs -> .tac bitstream")
+    e.add_argument("out")
+    e.add_argument("wavs", nargs="+")
+    common(e, geometry=True)
+    e.set_defaults(fn=cmd_encode)
+
+    d = sub.add_parser("decode", help=".tac -> wavs")
+    d.add_argument("tac")
+    d.add_argument("out_dir")
+    common(d, geometry=False)
+    d.set_defaults(fn=cmd_decode)
+
+    r = sub.add_parser("roundtrip", help="wav -> wav through the codec")
+    r.add_argument("wav")
+    r.add_argument("out")
+    common(r, geometry=True)
+    r.set_defaults(fn=cmd_roundtrip)
+
+    args = p.parse_args(argv if argv is not None else sys.argv[1:])
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
