@@ -45,7 +45,7 @@ def test_encode_decode_roundtrip(setup, capsys):
     model, params, root, wavs = setup
     tac = root / "clips.tac"
     cli_main(["encode", str(tac), *wavs, "--params", str(root / "params"),
-              *GEOM, "--batch", "2"])
+              *GEOM, "--batch", "2", "--clip-samples", str(T)])
     enc_report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     packed, header = read_tac(tac)
     total = sum(model.tables.sizes)  # 6 + 15 + 20 + 15 = 56 bits
@@ -56,7 +56,7 @@ def test_encode_decode_roundtrip(setup, capsys):
     out_dir = root / "recon"
     cli_main(["decode", str(tac), str(out_dir),
               "--params", str(root / "params"), "--batch", "2"])
-    files = sorted(out_dir.glob("clip_*.wav"))
+    files = sorted(out_dir.glob("in_*.wav"))
     assert len(files) == 2
 
     # The CLI output must equal a direct Codec decode of the same
@@ -67,3 +67,28 @@ def test_encode_decode_roundtrip(setup, capsys):
         got = load_wav(f)
         want = np.clip(direct[j, 0], -1.0, 1.0)
         np.testing.assert_allclose(got, want, atol=2.0 / 32768.0)
+
+
+def test_windowing_arbitrary_length(setup, capsys):
+    """A wav longer than the trained clip length is coded as multiple
+    windows and reassembled to its original length on decode (the
+    encoder MLP only accepts the trained window size)."""
+    model, params, root, wavs = setup
+    long_wav = root / "long.wav"
+    x = np.random.default_rng(5).normal(size=T + T // 2) * 0.1
+    save_wav(long_wav, x.astype(np.float32), 16000)
+
+    tac = root / "long.tac"
+    cli_main(["encode", str(tac), str(long_wav),
+              "--params", str(root / "params"), *GEOM,
+              "--clip-samples", str(T)])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["windows"] == 2  # ceil(1.5 windows)
+    _, header = read_tac(tac)
+    assert header["files"] == [["long", 2, T + T // 2]]
+
+    out_dir = root / "recon_long"
+    cli_main(["decode", str(tac), str(out_dir),
+              "--params", str(root / "params")])
+    got = load_wav(out_dir / "long.wav")
+    assert len(got) == T + T // 2

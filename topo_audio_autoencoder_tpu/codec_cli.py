@@ -105,27 +105,36 @@ def _codec(args, header: dict | None = None):
     return model, Codec(model, _load_params(args))
 
 
-def _load_clips(paths, num_bands: int, sample_rate: int) -> np.ndarray:
-    """Load + pad to one [N, 1, T] batch; T is the longest clip rounded up
-    to the decoder's granularity (num_bands * 16: four x2 upsamples fix
-    the per-band length to a multiple of 16)."""
+def _load_windows(paths, clip_samples: int, sample_rate: int):
+    """Load wavs and split into fixed ``clip_samples`` windows (pad the
+    last). The encoder's logit MLP binds its kernel to the trained clip
+    length (models/encoder.py:177, reference encoder.py:152-165), so a
+    checkpoint only encodes windows of exactly that length — arbitrary
+    audio is coded as a sequence of windows, one latent each.
+
+    Returns ([N_windows, 1, clip_samples] batch,
+             [(name, num_windows, orig_samples), ...] manifest)."""
     from .data.preprocess import load_wav
 
-    clips = [load_wav(p, sample_rate) for p in paths]
-    gran = num_bands * 16
-    t = max(len(c) for c in clips)
-    t = ((t + gran - 1) // gran) * gran
-    batch = np.zeros((len(clips), 1, t), dtype=np.float32)
-    for i, c in enumerate(clips):
-        batch[i, 0, : len(c)] = c
-    return batch
+    windows, files = [], []
+    for p in paths:
+        x = load_wav(p, sample_rate)
+        n_win = max(1, -(-len(x) // clip_samples))
+        padded = np.zeros(n_win * clip_samples, dtype=np.float32)
+        padded[: len(x)] = x
+        windows.append(padded.reshape(n_win, 1, clip_samples))
+        files.append((Path(p).stem, n_win, len(x)))
+    return np.concatenate(windows, axis=0), files
 
 
 def cmd_encode(args) -> None:
     from .inference import pack_latent
 
     model, codec = _codec(args)
-    batch = _load_clips(args.wavs, model.pqmf.n_band, args.sample_rate)
+    gran = model.pqmf.n_band * 16
+    if args.clip_samples % gran:
+        raise SystemExit(f"--clip-samples must be divisible by {gran}")
+    batch, files = _load_windows(args.wavs, args.clip_samples, args.sample_rate)
     wire = []
     for i in range(0, len(batch), args.batch):  # bound device memory
         wire.append(pack_latent(codec.encode(batch[i : i + args.batch])))
@@ -137,13 +146,15 @@ def cmd_encode(args) -> None:
         "layers": args.layers,
         "num_clips": int(wire.shape[0]),
         "bytes_per_clip": int(wire.shape[1]),
-        "num_samples": int(batch.shape[-1]),
+        "num_samples": args.clip_samples,
         "sample_rate": args.sample_rate,
+        "files": files,
     }
     write_tac(args.out, wire, header)
-    kbps = wire.shape[1] * 8 * args.sample_rate / batch.shape[-1] / 1000.0
+    kbps = wire.shape[1] * 8 * args.sample_rate / args.clip_samples / 1000.0
     print(json.dumps({
-        "clips": header["num_clips"],
+        "files": len(files),
+        "windows": header["num_clips"],
         "bytes_per_clip": header["bytes_per_clip"],
         "kbit_per_sec": round(kbps, 3),
         "out": str(args.out),
@@ -158,15 +169,23 @@ def cmd_decode(args) -> None:
     model, codec = _codec(args, header)
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    written = []
+    wavs = []
     for i in range(0, len(packed), args.batch):
         lat = unpack_latent(packed[i : i + args.batch], header["vertices"])
-        wav = np.asarray(codec.decode(lat, header["num_samples"]))
-        for j in range(wav.shape[0]):
-            p = out_dir / f"clip_{i + j:04d}.wav"
-            save_wav(p, wav[j], header["sample_rate"])
-            written.append(str(p))
-    print(json.dumps({"clips": len(written), "out_dir": str(out_dir)}))
+        wavs.append(np.asarray(codec.decode(lat, header["num_samples"])))
+    wavs = np.concatenate(wavs, axis=0)
+    written, w = [], 0
+    files = header.get("files") or [
+        (f"clip_{i:04d}", 1, header["num_samples"])
+        for i in range(header["num_clips"])
+    ]
+    for name, n_win, orig in files:
+        flat = wavs[w : w + n_win, 0].reshape(-1)[:orig]
+        w += n_win
+        p = out_dir / f"{name}.wav"
+        save_wav(p, flat, header["sample_rate"])
+        written.append(str(p))
+    print(json.dumps({"files": len(written), "out_dir": str(out_dir)}))
 
 
 def cmd_roundtrip(args) -> None:
@@ -174,14 +193,16 @@ def cmd_roundtrip(args) -> None:
     from .inference import pack_latent, unpack_latent
 
     model, codec = _codec(args)
-    batch = _load_clips([args.wav], model.pqmf.n_band, args.sample_rate)
+    batch, files = _load_windows([args.wav], args.clip_samples, args.sample_rate)
     wire = pack_latent(codec.encode(batch))
     lat = unpack_latent(wire, model.tables.num_vertices)
-    wav = np.asarray(codec.decode(lat, batch.shape[-1]))[0]
-    save_wav(args.out, wav, args.sample_rate)
+    wav = np.asarray(codec.decode(lat, args.clip_samples))
+    flat = wav[:, 0].reshape(-1)[: files[0][2]]
+    save_wav(args.out, flat, args.sample_rate)
     print(json.dumps({
-        "bytes": int(wire.shape[1]),
-        "num_samples": int(batch.shape[-1]),
+        "windows": int(wire.shape[0]),
+        "bytes": int(wire.shape[0] * wire.shape[1]),
+        "num_samples": int(files[0][2]),
         "out": str(args.out),
     }))
 
@@ -199,6 +220,11 @@ def main(argv: list[str] | None = None) -> None:
         if geometry:  # decode reads geometry from the .tac header instead
             sp.add_argument("--vertices", type=int, default=20)
             sp.add_argument("--bands", type=int, default=16)
+            sp.add_argument(
+                "--clip-samples", type=int, default=64000,
+                help="window length the checkpoint was trained at; audio "
+                     "is coded as a sequence of such windows",
+            )
         sp.add_argument("--hidden", type=int, default=64)
         sp.add_argument("--layers", type=int, default=6)
 
