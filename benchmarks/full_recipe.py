@@ -74,11 +74,22 @@ def resume_run(trainer, out: Path) -> int:
         if not ckpt.exists(name):
             continue
         try:
-            start_epoch = trainer.resume_from(name) + 1
-            break
+            ep = trainer.resume_from(name)
         except Exception as e:
             print(json.dumps({"stage": "resume_skip", "name": name,
                               "error": type(e).__name__}), flush=True)
+            continue
+        if ep < 0:
+            # A kill between the Orbax rename and the async sidecar write
+            # leaves the checkpoint dir intact with no .extra.json:
+            # resume_from returns -1 (weights restored, no trajectory).
+            # Fall through to the next-freshest durable name instead of
+            # silently restarting the run at epoch 0.
+            print(json.dumps({"stage": "resume_skip", "name": name,
+                              "error": "missing_sidecar"}), flush=True)
+            continue
+        start_epoch = ep + 1
+        break
     if start_epoch == 0:
         return 0
     stats_file = out / "complex_stats.jsonl"
@@ -157,6 +168,12 @@ def main() -> None:
         # scale the ceiling with n so a larger hierarchy is not penalized
         # down to the flagship's effective size (vertex_count_penalty).
         max_active_vertices=n_vertices,
+        # Discrete-path axes (VERDICT r3 #2): --sampler hard_concrete
+        # trains the documented Hard Concrete gate; --hard trains the
+        # reference's STE path (Bernoulli draw, re-rectify,
+        # straight-through — reference encoder.py:341-357).
+        sampler=_arg("--sampler", "gumbel", str),
+        hard="--hard" in sys.argv,
     )
     on_tpu = jax.default_backend() != "cpu"
     trainer = Trainer(
@@ -201,37 +218,65 @@ def main() -> None:
     val_probe = jnp.asarray(val_wavs[:4])[:, None, :]
 
     from topo_audio_autoencoder_tpu.ops.stft import spectral_distance, stft_magnitude
+    from topo_audio_autoencoder_tpu.topology.rectifier import RectifiedProbs
 
     @jax.jit
     def probe_fwd(params, x):
-        out_ = model.apply(params, x, 1.0, None, False)
-        spec = spectral_distance(out_.waveform[:, 0], x[:, 0]).mean()
+        dl = x.shape[-1] // model.num_bands
+        enc = model.apply(
+            params, x, 1.0, None, False,
+            method=lambda m, a, t, r, tr: m.encode(a, t, r, tr),
+        )
+        wav = model.apply(
+            params, enc, dl, False,
+            method=lambda m, e, d, tr: m.decode(e, d, tr),
+        )
+        spec = spectral_distance(wav[:, 0], x[:, 0]).mean()
+        # Hard-eval probe: decode the THRESHOLDED latent — exactly what the
+        # codec ships (inference.pack_latent binarizes at 0.5;
+        # Codec.decode -> decode_from_probs re-rectifies). For the Gumbel
+        # sampler the eval probs are already {0,1} so hard == soft; for
+        # Hard Concrete (continuous eval probs) this measures the
+        # train-soft/eval-hard quantization gap (VERDICT r3 #2).
+        hard_latent = RectifiedProbs(
+            *((p >= 0.5).astype(p.dtype) for p in enc.probs.ranks)
+        )
+        hwav = model.apply(
+            params, hard_latent, dl,
+            method=lambda m, pr, d: m.decode_from_probs(pr, d),
+        )
+        hspec = spectral_distance(hwav[:, 0], x[:, 0]).mean()
         # Phase-blind SNR in the magnitude-STFT domain (the waveform SNR is
         # meaningless under a magnitude-only objective: phase drifts freely).
         sx = stft_magnitude(x[:, 0].astype(jnp.float32), 512)
-        sy = stft_magnitude(out_.waveform[:, 0].astype(jnp.float32), 512)
+        sy = stft_magnitude(wav[:, 0].astype(jnp.float32), 512)
         ssnr = 10.0 * jnp.log10(
             jnp.sum(sx**2) / jnp.maximum(jnp.sum((sx - sy) ** 2), 1e-12)
         )
         return (
-            out_.waveform,
-            tuple(m.sum(axis=-1) for m in out_.encoder_output.masks),
+            wav,
+            tuple(m.sum(axis=-1) for m in enc.masks),
             spec,
+            hspec,
             ssnr,
         )
 
     def complex_stats(epoch):
-        wav, counts, spec, ssnr = probe_fwd(trainer.state.params, probe)
-        _, _, vspec, _ = probe_fwd(trainer.state.params, val_probe)
+        wav, counts, spec, hspec, ssnr = probe_fwd(trainer.state.params, probe)
+        _, _, vspec, vhspec, _ = probe_fwd(trainer.state.params, val_probe)
         # ONE device->host drain for everything except the wav (only
         # materialized at the start/mid/end dumps) — per-leaf fetches cost
         # a ~100 ms round-trip each over the remote tunnel.
-        counts, spec, ssnr, vspec = jax.device_get((counts, spec, ssnr, vspec))
+        counts, spec, hspec, ssnr, vspec, vhspec = jax.device_get(
+            (counts, spec, hspec, ssnr, vspec, vhspec)
+        )
         counts = [np.asarray(c).mean() for c in counts]
         rec = {
             "epoch": epoch,
             "probe_spectral": round(float(spec), 4),
             "val_spectral": round(float(vspec), 4),
+            "probe_hard_spectral": round(float(hspec), 4),
+            "val_hard_spectral": round(float(vhspec), 4),
             "probe_spectral_snr_db": round(float(ssnr), 3),
             "active_vertices": round(float(counts[0]), 2),
             "active_edges": round(float(counts[1]), 2),

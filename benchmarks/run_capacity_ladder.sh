@@ -16,11 +16,15 @@ cd "$(dirname "$0")/.."
 # launcher's $! is not reliably this shell). Refuse to double-start:
 # two concurrent recipes corrupt the shared checkpoint dir AND the
 # one-client TPU tunnel.
-if [ -f /tmp/ladder.pid ] && kill -0 "$(cat /tmp/ladder.pid)" 2>/dev/null; then
+if [ -f /tmp/ladder.pid ] && kill -0 "$(cat /tmp/ladder.pid)" 2>/dev/null \
+   && grep -qs run_capacity_ladder "/proc/$(cat /tmp/ladder.pid)/cmdline"; then
+  # kill -0 alone would also match a recycled PID from an unrelated
+  # process; require the cmdline to actually be this script.
   echo "ladder already running (pid $(cat /tmp/ladder.pid)); refusing to double-start"
   exit 1
 fi
 echo $$ > /tmp/ladder.pid
+trap 'rm -f /tmp/ladder.pid' EXIT
 
 # TPU hand-back deadline (UTC epoch): the driver's round-end bench.py must
 # not collide with a live TPU client (round 2's BENCH rc=124 was exactly

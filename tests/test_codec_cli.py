@@ -69,6 +69,44 @@ def test_encode_decode_roundtrip(setup, capsys):
         np.testing.assert_allclose(got, want, atol=2.0 / 32768.0)
 
 
+def test_sidecar_geometry(setup, capsys, tmp_path):
+    """A Trainer-style checkpoint sidecar stamps the model geometry; the
+    CLI reads it (no --vertices/... flags needed) and rejects an explicit
+    flag that disagrees (VERDICT r3 #8: a silent mismatch decoded
+    garbage)."""
+    model, params, root, wavs = setup
+    from topo_audio_autoencoder_tpu.training.checkpoint import CheckpointManager
+
+    ck = CheckpointManager(tmp_path / "ckpt")
+    ck.save(
+        "best", {"params": params},
+        extra={"model": model.geometry(), "encoder_lr": 1e-3},
+    )
+    tac = tmp_path / "clips.tac"
+    cli_main(["encode", str(tac), wavs[0],
+              "--checkpoint", str(tmp_path / "ckpt"),
+              "--clip-samples", str(T)])
+    capsys.readouterr()
+    _, header = read_tac(tac)
+    assert header["vertices"] == 6
+    assert header["hidden"] == 16 and header["layers"] == 2
+
+    with pytest.raises(SystemExit, match="geometry mismatch"):
+        cli_main(["encode", str(tmp_path / "x.tac"), wavs[0],
+                  "--checkpoint", str(tmp_path / "ckpt"),
+                  "--vertices", "20", "--clip-samples", str(T)])
+
+
+def test_roundtrip_gran_guard(setup, tmp_path):
+    """roundtrip rejects an indivisible --clip-samples up front (ADVICE r3:
+    it previously failed opaquely inside the jitted decoder)."""
+    model, params, root, wavs = setup
+    with pytest.raises(SystemExit, match="divisible"):
+        cli_main(["roundtrip", wavs[0], str(tmp_path / "x.wav"),
+                  "--params", str(root / "params"), *GEOM,
+                  "--clip-samples", "100"])
+
+
 def test_windowing_arbitrary_length(setup, capsys):
     """A wav longer than the trained clip length is coded as multiple
     windows and reassembled to its original length on decode (the

@@ -20,10 +20,12 @@ Parameters come from either source:
                       snapshot (default ``best``), params are read out of
                       the saved train state.
 
-Model geometry is NOT stored in checkpoints (the reference hard-codes it,
-main.py:272-278); pass --vertices/--hidden/--layers/--bands for
-non-default architectures — encode stamps them into the header and
-decode rebuilds the same model.
+Model geometry resolves from: explicit CLI flag > ``.tac`` header >
+the checkpoint's sidecar stamp (Trainer checkpoints record their
+architecture in ``<name>.extra.json``) > built-in defaults — so for a
+Trainer checkpoint no geometry flags are needed, and a flag that
+disagrees with the stamp is a hard error instead of a garbage decode.
+(The reference hard-codes its geometry, main.py:272-278.)
 
 Usage:
     python -m topo_audio_autoencoder_tpu.codec_cli encode out.tac a.wav b.wav \
@@ -67,21 +69,59 @@ def read_tac(path) -> tuple[np.ndarray, dict]:
     return packed, header
 
 
-def _build_model(args_or_header):
+_GEOM_DEFAULTS = {
+    "vertices": 20, "bands": 16, "hidden": 64, "layers": 6,
+    "sampler": "gumbel", "hard": False,
+}
+
+
+def _resolve_geometry(args, header: dict | None) -> dict:
+    """Model geometry from: explicit CLI flag > ``.tac`` header > checkpoint
+    sidecar stamp > built-in default.
+
+    Trainer checkpoints stamp their architecture into the ``.extra.json``
+    sidecar (``AudioAutoencoder.geometry``), so a plain ``--checkpoint`` is
+    enough; any disagreement between explicit sources is a hard error —
+    a silent mismatch would decode garbage (the params restore happily
+    into a differently-shaped model only to produce noise)."""
+    side = {}
+    if args.checkpoint:
+        from .training.checkpoint import CheckpointManager
+
+        extra = CheckpointManager(args.checkpoint).load_extra(
+            args.name or "best"
+        )
+        side = (extra or {}).get("model") or {}
+    geom = {}
+    for k, dflt in _GEOM_DEFAULTS.items():
+        sources = {}
+        cli = getattr(args, k, None)
+        if cli is not None:
+            sources[f"--{k}"] = cli
+        if header and k in header:
+            sources[".tac header"] = header[k]
+        if k in side:
+            sources["checkpoint sidecar"] = side[k]
+        if len(set(sources.values())) > 1:
+            raise SystemExit(
+                f"model geometry mismatch for '{k}': "
+                + ", ".join(f"{s}={v}" for s, v in sources.items())
+            )
+        geom[k] = next(iter(sources.values()), dflt)
+    return geom
+
+
+def _build_model(geom: dict):
     from .models import AudioAutoencoder
 
-    get = (
-        args_or_header.get
-        if isinstance(args_or_header, dict)
-        else lambda k, d=None: getattr(args_or_header, k)
-    )
-    n = get("vertices", 20)
     return AudioAutoencoder.create(
-        num_vertices=n,
-        num_bands=get("bands", 16),
-        sccn_hidden_dim=get("hidden", 64),
-        n_sccn_layers=get("layers", 6),
-        max_active_vertices=n,
+        num_vertices=geom["vertices"],
+        num_bands=geom["bands"],
+        sccn_hidden_dim=geom["hidden"],
+        n_sccn_layers=geom["layers"],
+        max_active_vertices=geom["vertices"],
+        sampler=geom["sampler"],
+        hard=geom["hard"],
     )
 
 
@@ -101,8 +141,18 @@ def _load_params(args):
 def _codec(args, header: dict | None = None):
     from .inference import Codec
 
-    model = _build_model(header if header is not None else args)
-    return model, Codec(model, _load_params(args))
+    geom = _resolve_geometry(args, header)
+    model = _build_model(geom)
+    return model, Codec(model, _load_params(args)), geom
+
+
+def _check_gran(model, clip_samples: int) -> None:
+    """The decoder's four x2 upsamples fix the per-band output length to a
+    multiple of 16; an indivisible window fails opaquely inside the jitted
+    decoder (or misaligns windows) — fail clearly up front instead."""
+    gran = model.pqmf.n_band * 16
+    if clip_samples % gran:
+        raise SystemExit(f"--clip-samples must be divisible by {gran}")
 
 
 def _load_windows(paths, clip_samples: int, sample_rate: int):
@@ -130,10 +180,8 @@ def _load_windows(paths, clip_samples: int, sample_rate: int):
 def cmd_encode(args) -> None:
     from .inference import pack_latent
 
-    model, codec = _codec(args)
-    gran = model.pqmf.n_band * 16
-    if args.clip_samples % gran:
-        raise SystemExit(f"--clip-samples must be divisible by {gran}")
+    model, codec, geom = _codec(args)
+    _check_gran(model, args.clip_samples)
     batch, files = _load_windows(args.wavs, args.clip_samples, args.sample_rate)
     wire = []
     for i in range(0, len(batch), args.batch):  # bound device memory
@@ -142,8 +190,10 @@ def cmd_encode(args) -> None:
     header = {
         "vertices": model.tables.num_vertices,
         "bands": model.pqmf.n_band,
-        "hidden": args.hidden,
-        "layers": args.layers,
+        "hidden": geom["hidden"],
+        "layers": geom["layers"],
+        "sampler": geom["sampler"],
+        "hard": geom["hard"],
         "num_clips": int(wire.shape[0]),
         "bytes_per_clip": int(wire.shape[1]),
         "num_samples": args.clip_samples,
@@ -166,7 +216,7 @@ def cmd_decode(args) -> None:
     from .inference import unpack_latent
 
     packed, header = read_tac(args.tac)
-    model, codec = _codec(args, header)
+    model, codec, _ = _codec(args, header)
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     wavs = []
@@ -192,7 +242,8 @@ def cmd_roundtrip(args) -> None:
     from .data.preprocess import save_wav
     from .inference import pack_latent, unpack_latent
 
-    model, codec = _codec(args)
+    model, codec, _ = _codec(args)
+    _check_gran(model, args.clip_samples)
     batch, files = _load_windows([args.wav], args.clip_samples, args.sample_rate)
     wire = pack_latent(codec.encode(batch))
     lat = unpack_latent(wire, model.tables.num_vertices)
@@ -217,16 +268,19 @@ def main(argv: list[str] | None = None) -> None:
         sp.add_argument("--name", help="snapshot name (default best/params)")
         sp.add_argument("--batch", type=int, default=16)
         sp.add_argument("--sample-rate", type=int, default=16000)
+        # Geometry defaults are None: an omitted flag defers to the .tac
+        # header / checkpoint sidecar stamp (_resolve_geometry); an explicit
+        # flag that disagrees with either is a hard error.
         if geometry:  # decode reads geometry from the .tac header instead
-            sp.add_argument("--vertices", type=int, default=20)
-            sp.add_argument("--bands", type=int, default=16)
+            sp.add_argument("--vertices", type=int, default=None)
+            sp.add_argument("--bands", type=int, default=None)
             sp.add_argument(
                 "--clip-samples", type=int, default=64000,
                 help="window length the checkpoint was trained at; audio "
                      "is coded as a sequence of such windows",
             )
-        sp.add_argument("--hidden", type=int, default=64)
-        sp.add_argument("--layers", type=int, default=6)
+        sp.add_argument("--hidden", type=int, default=None)
+        sp.add_argument("--layers", type=int, default=None)
 
     e = sub.add_parser("encode", help="wavs -> .tac bitstream")
     e.add_argument("out")

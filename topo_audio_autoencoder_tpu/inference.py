@@ -15,8 +15,9 @@ waveform — plus persistence. This module provides:
 - ``pack_latent`` / ``unpack_latent``: the wire format — one bit per
   simplex, ``ceil((n + C(n,2) + C(n,3) + C(n,4)) / 8)`` bytes per clip
   (n=20: 6,195 bits = 775 bytes for 4 s of 16 kHz audio ≈ 1.55 kbit/s).
-  Lossless for eval-path latents: thresholding yields exact {0,1} probs
-  and rectification (min / geometric mean) maps binaries to binaries.
+  Lossless for *Gumbel* eval-path latents (thresholding yields exact
+  {0,1} probs and rectification maps binaries to binaries); Hard
+  Concrete eval probs are continuous and quantize — see ``pack_latent``.
 - ``save_params`` / ``load_params``: Orbax round trip.
 """
 
@@ -32,7 +33,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .models.autoencoder import AudioAutoencoder
-from .topology.builder import build_operators
 from .topology.rectifier import RectifiedProbs
 from .training.checkpoint import CheckpointManager
 
@@ -68,21 +68,14 @@ class Codec:
 
         @partial(jax.jit, static_argnums=(2,))
         def _decode(params, latent: SimplicialLatent, desired_length: int):
+            # decode_from_probs re-rectifies, restoring face closure for
+            # thresholded (pack_latent) Hard Concrete latents; idempotent
+            # for already-valid latents.
             probs = RectifiedProbs(*latent.ranks)
-            masks = tuple((p > 0).astype(p.dtype) for p in probs.ranks)
-            tables = model.tables
-
-            def run(m, probs, masks):
-                embeddings = tuple(
-                    m.encoder.embed_norms[r](m.encoder.embed_tables[r])
-                    * probs.ranks[r][..., None]
-                    for r in range(4)
-                )
-                ops = build_operators(probs, tables, masks=masks)
-                sub = m.decoder(embeddings, ops, masks, desired_length, False)
-                return m.pqmf.inverse(jnp.swapaxes(sub, -1, -2))
-
-            return model.apply(params, probs, masks, method=run)
+            return model.apply(
+                params, probs, desired_length,
+                method=lambda m, p, dl: m.decode_from_probs(p, dl),
+            )
 
         @jax.jit
         def _reconstruct(params, x):
@@ -107,14 +100,24 @@ class Codec:
 
 
 def pack_latent(latent: SimplicialLatent) -> np.ndarray:
-    """Binary latent -> ``[..., ceil(S_total/8)]`` uint8 bitstream.
+    """Latent -> ``[..., ceil(S_total/8)]`` uint8 bitstream.
 
     Ranks concatenate in order (vertices, edges, triangles, tetra) along
     the last axis before packing, so the bit layout matches the flat
     logit order (reference: encoder.py:291-297 ``split_simplices``).
+
+    Binarization thresholds at 0.5. Lossless ONLY for binary latents —
+    the Gumbel eval path yields exact {0, 1} probs. The Hard Concrete
+    eval path yields *continuous* probs in [0, 1] (samplers.py), which
+    quantize here: the decode of the packed latent differs from the
+    decode of the original probs (the probs scale the decoder
+    embeddings). ``Codec.decode`` re-rectifies, so the thresholded
+    latent is always decoded as a valid complex; measure the
+    quantization with the recipe's hard-eval probe
+    (benchmarks/full_recipe.py).
     """
     bits = np.concatenate(
-        [np.asarray(r) > 0 for r in latent.ranks], axis=-1
+        [np.asarray(r) >= 0.5 for r in latent.ranks], axis=-1
     )
     return np.packbits(bits.astype(np.uint8), axis=-1)
 

@@ -120,6 +120,51 @@ class AudioAutoencoder(nn.Module):
         )
         return self.pqmf.inverse(jnp.swapaxes(sub, -1, -2))
 
+    def decode_from_probs(
+        self, probs, desired_length: int | None = None, train: bool = False
+    ) -> jnp.ndarray:
+        """Decode straight from a per-rank probability latent — the codec
+        path (``inference.Codec.decode``): embeddings + operators are rebuilt
+        from the latent alone, no encoder re-run.
+
+        The latent is re-rectified first. Rectification is idempotent on
+        already-valid latents (any ``EncoderOutput.probs``), so this is a
+        no-op for them; for a *thresholded* Hard Concrete latent (whose
+        continuous eval probs can binarize to a non-complex: a simplex kept
+        at >= 0.5 while a face dropped below) it restores face closure,
+        exactly as the encoder would (reference: encoder.py:341-357
+        re-rectifies its Bernoulli draw for the same reason).
+        """
+        from ..topology.builder import build_operators
+        from ..topology.rectifier import enforce_constraints
+
+        rect = enforce_constraints(*probs.ranks, self.tables)
+        masks = tuple((p > 0).astype(p.dtype) for p in rect.ranks)
+        embeddings = tuple(
+            self.encoder.embed_norms[r](self.encoder.embed_tables[r])
+            * rect.ranks[r][..., None]
+            for r in range(4)
+        )
+        ops = build_operators(rect, self.tables, masks=masks)
+        sub = self.decoder(embeddings, ops, masks, desired_length, train)
+        return self.pqmf.inverse(jnp.swapaxes(sub, -1, -2))
+
+    def geometry(self) -> dict:
+        """Model-architecture facts a checkpoint consumer needs to rebuild
+        this exact module (stamped into checkpoint sidecars by the Trainer;
+        read back by ``codec_cli`` — the reference hard-codes its geometry,
+        reference main.py:272-278)."""
+        return {
+            "vertices": self.tables.num_vertices,
+            "bands": self.num_bands,
+            "hidden": self.sccn_hidden_dim,
+            "layers": self.n_sccn_layers,
+            "sampler": self.sampler,
+            "hard": self.hard,
+            "min_active_vertices": self.min_active_vertices,
+            "max_active_vertices": self.max_active_vertices,
+        }
+
     def __call__(
         self, x, temperature=1.0, rng=None, train: bool = True
     ) -> AutoencoderOutput:

@@ -623,6 +623,10 @@ class Trainer:
         save is in flight — the next save (or ``finish_checkpoints`` /
         any restore) joins it first, re-raising any failure."""
         extra = dict(self.hyper)
+        # Architecture stamp: lets consumers (codec_cli) rebuild the exact
+        # module without the user re-supplying --vertices/--hidden/--layers
+        # (a silent mismatch decodes garbage).
+        extra["model"] = self.model.geometry()
         if epoch is not None:
             from dataclasses import asdict
 
