@@ -127,6 +127,59 @@ def test_dp_trainer_end_to_end(tmp_path):
     assert len(leaf.sharding.device_set) == 8
 
 
+def test_sharded_corpus_gather_matches_plain():
+    """Row-sharded corpus + distributed gather (VERDICT r3 #6) assembles
+    exactly the batch the replicated-corpus gather would — including
+    padded row counts and foreign-shard indices."""
+    from topo_audio_autoencoder_tpu.training import make_sharded_corpus_gather
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(0)
+    corpus = rng.standard_normal((19, 64)).astype(np.float32)  # 19 % 8 != 0
+    corpus_dev, gather = make_sharded_corpus_gather(mesh, corpus)
+    assert not corpus_dev.sharding.is_fully_replicated
+    assert corpus_dev.shape == (24, 64)  # padded to the 8-device multiple
+
+    idx = rng.integers(0, 19, size=(16, 3)).astype(np.int32)
+    got = gather(corpus_dev, jnp.asarray(idx))
+    want = corpus[idx][:, :, None, :]
+    np.testing.assert_array_equal(np.asarray(got), want)
+    assert len(got.sharding.device_set) == 8  # batch-sharded result
+
+
+def test_dp_shard_corpus_matches_replicated(tmp_path):
+    """A DP epoch over the row-sharded corpus reproduces the
+    replicated-corpus epoch exactly: the assembled batches are
+    numerically identical (each row is one chip's exact contribution),
+    so the training trajectories match."""
+    from topo_audio_autoencoder_tpu.data import (
+        NSynthDataset, compute_distances, synth_corpus,
+    )
+    from topo_audio_autoencoder_tpu.training import Trainer, TrainerConfig
+
+    corpus = synth_corpus(17, 1024, seed=1)  # odd size: exercises padding
+    d = compute_distances(corpus, tile=17, scales=(256,))
+    losses = {}
+    for shard in (False, True):
+        train = NSynthDataset(corpus, d["neighbors"], train=True)
+        val = NSynthDataset(synth_corpus(8, 1024, seed=2), train=False)
+        model = AudioAutoencoder.create(
+            num_vertices=4, num_bands=4, sccn_hidden_dim=8, n_sccn_layers=1
+        )
+        t = Trainer(
+            model, train, val,
+            config=TrainerConfig(
+                checkpoint_dir=str(tmp_path / f"s{shard}"), batch_size=8,
+                accumulate_grad_batches=1, max_epochs=1, dump_audio=False,
+                with_grad_norms=False, data_parallel=True,
+                shard_corpus=shard, scan_steps=2,
+            ),
+        )
+        m = t.train()
+        losses[shard] = (m.train_losses[0], m.val_losses[0])
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)
+
+
 def test_graft_entry_dryrun():
     import sys
     from pathlib import Path

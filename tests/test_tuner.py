@@ -153,6 +153,70 @@ def test_scanned_tune_matches_per_step(setup):
     )
 
 
+def test_tuner_dp_matches_single_device(setup):
+    """Vmapped tuning under a data-parallel mesh (VERDICT r3 #3): grid
+    state replicated, batch sharded on its batch dim, same losses and
+    updates as single-device (up to reduction order — same tolerances as
+    test_parallel.test_dp_matches_single_device)."""
+    from topo_audio_autoencoder_tpu.parallel import make_mesh, shard_batch
+
+    model, train, val = setup
+    mesh = make_mesh(2)
+    grid = {
+        "encoder_lr": [1e-3, 5e-4],
+        "decoder_lr": [1e-4],
+        "complexity_penalty": [0.1],
+    }
+    t1 = VmappedGridTuner(model)
+    tdp = VmappedGridTuner(model, mesh=mesh)
+    state1 = t1.init_grid(grid, (1, 1, T))
+    statedp = tdp.init_grid(grid, (1, 1, T))
+    leaf = jax.tree.leaves(statedp.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+    batch = jnp.asarray(next(iter(batch_iterator(train, 2))))
+    rngs = jax.random.split(jax.random.PRNGKey(0), 2)
+    s1, l1 = t1.grid_step(state1, batch, jnp.asarray(1.0), rngs)
+    sdp, ldp = tdp.grid_step(
+        statedp, shard_batch(batch, mesh), jnp.asarray(1.0), rngs
+    )
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(ldp), rtol=1e-4)
+    leaf = jax.tree.leaves(sdp.params)[0]
+    assert leaf.sharding.is_fully_replicated  # grad all-reduce happened
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(sdp.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0.0, atol=2.5e-3
+        )
+
+
+def test_tuner_dp_full_tune_scanned(setup):
+    """The whole DP tune pipeline — device corpus replicated over the
+    mesh, scanned grid steps on sharded index segments, sharded val —
+    runs and returns finite per-combo losses."""
+    from topo_audio_autoencoder_tpu.parallel import make_mesh
+
+    model, train, val = setup
+    mesh = make_mesh(2)
+    grid = {
+        "encoder_lr": [1e-3],
+        "decoder_lr": [1e-4],
+        "complexity_penalty": [0.05, 0.1],
+    }
+    res = VmappedGridTuner(model, mesh=mesh).tune(
+        grid,
+        train_batches=lambda e: index_iterator(train, 2, epoch=e),
+        val_batches=lambda: index_iterator(val, 2, shuffle=False),
+        corpus=train.waveforms,
+        val_corpus=val.waveforms,
+        epochs=1,
+        seed=3,
+        scan_steps=2,
+    )
+    assert all(np.isfinite(v) for v in res["val_losses"])
+    leaf = jax.tree.leaves(res["state"].params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
 def test_vmapped_combos_diverge(setup):
     """Different LRs must actually produce different parameters."""
     model, train, val = setup

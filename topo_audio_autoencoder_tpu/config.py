@@ -89,11 +89,25 @@ class TuningGrid:
 
 
 @dataclass
+class ExploreConfig:
+    """Neighbor exploration (reference main.py:88-176,285-288) — the
+    reference gates it behind an interactive input() prompt; here it is a
+    config switch (``explore.enabled=true``) that dumps a sample's
+    nearest/farthest neighbors as wavs before training starts."""
+
+    enabled: bool = False
+    index: int | None = None  # clip to explore; None = seeded random
+    num_neighbors: int = 3
+    out_dir: str = "./neighbor_samples"
+
+
+@dataclass
 class Config:
     data: DataConfig = field(default_factory=DataConfig)
     model: ModelConfig = field(default_factory=ModelConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     grid: TuningGrid = field(default_factory=TuningGrid)
+    explore: ExploreConfig = field(default_factory=ExploreConfig)
     run_tuning: bool = True
 
     @classmethod

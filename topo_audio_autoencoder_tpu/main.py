@@ -74,7 +74,7 @@ def prepare_data(cfg: Config):
         train_wavs, dists["neighbors"], train=True, seed=cfg.train.seed
     )
     val_ds = NSynthDataset(val_wavs, train=False)
-    return train_ds, val_ds
+    return train_ds, val_ds, dists
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -99,7 +99,25 @@ def main(argv: list[str] | None = None) -> None:
         n_sccn_layers=cfg.model.n_sccn_layers,
         pqmf_attenuation=cfg.model.pqmf_attenuation,
     )
-    train_ds, val_ds = prepare_data(cfg)
+    train_ds, val_ds, dists = prepare_data(cfg)
+
+    if cfg.explore.enabled:
+        # Reference invokes this behind an interactive y/n prompt before
+        # training (main.py:285-288); here it is config-gated and
+        # non-interactive (SURVEY §5.6).
+        from .data import explore_neighbors
+
+        d = explore_neighbors(
+            np.asarray(train_ds.waveforms),
+            dists["distances"],
+            dists["neighbors"],
+            index=cfg.explore.index,
+            out_dir=cfg.explore.out_dir,
+            num_neighbors=cfg.explore.num_neighbors,
+            sample_rate=cfg.data.sample_rate,
+            seed=cfg.train.seed,
+        )
+        print(f"neighbor exploration written to {d}")
 
     t = cfg.train
     trainer = Trainer(

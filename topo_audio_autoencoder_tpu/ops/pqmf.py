@@ -19,8 +19,10 @@ Compute (device-side, JAX):
   a strided multi-filter conv to an im2col matmul on the MXU — this *is* the
   polyphase fast path; no per-phase bookkeeping needed.
 - Synthesis = the exact adjoint conv (lhs-dilated conv with flipped kernels)
-  scaled by M and a measured calibration gain, making forward→inverse a
-  near-identity with zero delay (symmetric padding, linear-phase filters).
+  scaled by exactly M (the cosine-modulation energy normalization — no
+  empirical calibration factor), making forward→inverse a near-identity
+  with zero delay (symmetric padding, linear-phase filters); the
+  round-trip error is pinned by tests/test_ops.py.
 """
 
 from __future__ import annotations

@@ -2,7 +2,6 @@
 
 from .mesh import (
     batch_sharding,
-    make_dp_train_step,
     make_mesh,
     pad_to_multiple,
     replicate,
@@ -12,7 +11,6 @@ from .mesh import (
 
 __all__ = [
     "batch_sharding",
-    "make_dp_train_step",
     "make_mesh",
     "pad_to_multiple",
     "replicate",

@@ -47,26 +47,6 @@ def replicate(tree, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
-def make_dp_train_step(train_step, mesh: Mesh, axis: str = "data"):
-    """Wrap a jitted train step with explicit DP shardings.
-
-    ``train_step(state, batch, temperature, rng)`` — state replicated,
-    batch sharded on its leading dim. XLA inserts the gradient all-reduce
-    over ICI; returned state is replicated.
-    """
-    rep = replicated(mesh)
-    bsh = batch_sharding(mesh, axis)
-
-    state_sh = lambda tree: jax.tree.map(lambda _: rep, tree)
-
-    def dp_step(state, batch, temperature, rng):
-        batch = jax.lax.with_sharding_constraint(batch, bsh)
-        new_state, metrics = train_step(state, batch, temperature, rng)
-        return new_state, metrics
-
-    return dp_step
-
-
 def pad_to_multiple(batch: np.ndarray, multiple: int):
     """Right-pad the batch dim to a device-count multiple; returns
     (padded, real_count). Static shapes demand full batches per shard."""

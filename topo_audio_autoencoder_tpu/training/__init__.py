@@ -14,6 +14,7 @@ from .train_step import (
     make_indexed_train_step,
     make_scan_train_step,
     make_scan_indexed_train_step,
+    make_sharded_corpus_gather,
 )
 from .trainer import Trainer, TrainerConfig
 from .tuner import GridState, VmappedGridTuner
@@ -34,6 +35,7 @@ __all__ = [
     "make_indexed_train_step",
     "make_scan_train_step",
     "make_scan_indexed_train_step",
+    "make_sharded_corpus_gather",
     "Trainer",
     "GridState",
     "VmappedGridTuner",

@@ -254,6 +254,7 @@ def make_scan_indexed_train_step(
     with_grad_norms: bool = False,
     donate: bool = True,
     mesh=None,
+    shard_corpus: bool = False,
 ):
     """Scanned variant of ``make_indexed_train_step``: takes [K, B, G]
     int32 index matrices and runs K train steps in one dispatch, gathering
@@ -264,12 +265,19 @@ def make_scan_indexed_train_step(
     over K steps, and at trainer batch sizes (B <= 32) the combined
     program compiles fine — the b=128 split-jit workaround in
     ``make_indexed_train_step`` is a bench-only concern.
+
+    ``shard_corpus=True`` (requires ``mesh``) shards corpus rows over the
+    mesh and assembles each step's batch with the distributed gather —
+    see ``make_sharded_corpus_gather``.
     """
     base = make_train_step(
         model, optimizer, weights, compute_dtype, with_grad_norms,
         donate=False,
     )
-    if mesh is not None:
+    gather = None
+    if mesh is not None and shard_corpus:
+        corpus_dev, gather = make_sharded_corpus_gather(mesh, corpus)
+    elif mesh is not None:
         from ..parallel import replicated
 
         corpus_dev = jax.device_put(
@@ -281,7 +289,10 @@ def make_scan_indexed_train_step(
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def scan_steps(state: TrainState, idxs, temperature, rng, corpus):
         def body(st, idx):  # idx: [B, G]
-            batch = corpus[idx][:, :, None, :]
+            if gather is not None:
+                batch = gather(corpus, idx)  # distributed rows
+            else:
+                batch = corpus[idx][:, :, None, :]
             return base(st, batch, temperature, rng)
 
         return jax.lax.scan(body, state, idxs)
@@ -290,6 +301,79 @@ def make_scan_indexed_train_step(
         return scan_steps(state, idxs, temperature, rng, corpus_dev)
 
     return scanned_step
+
+
+def make_sharded_corpus_gather(mesh, corpus, axis: str = "data"):
+    """Corpus sharded ROW-WISE over the mesh + a batch-gather that
+    assembles each chip's batch shard from the distributed rows.
+
+    The replicated device corpus caps at one chip's HBM (~4k clips of
+    4 s/16 kHz audio in f32); sharding rows over D chips scales the
+    resident corpus D-fold toward real NSynth sizes (~300k clips on a
+    v5e-8 would still stream, but 30k+ fit). The access pattern is the
+    sharded-embedding-table idiom:
+
+      1. every chip receives the FULL [B, G] index matrix (tiny int32s),
+      2. gathers the rows it owns from its local shard (masked clip for
+         foreign indices — zero contribution),
+      3. one ``psum_scatter`` over the batch dim both sums the
+         per-chip contributions (exactly one chip owns each row) and
+         leaves each chip holding only ITS batch shard — the same
+         [B/D, G, T] layout the replicated-corpus path produces.
+
+    Per-step ICI traffic is ~B*G*T floats (the batch itself), the
+    minimum possible when rows live remotely; index traffic is noise.
+
+    Returns ``(corpus_dev, gather)`` where ``gather(corpus_dev,
+    idxs[B, G]) -> [B, G, 1, T]`` batch-sharded over the mesh. Rows are
+    zero-padded to a device-count multiple; callers never index pads.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    try:  # moved to jax.sharding in newer releases
+        from jax.sharding import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    import numpy as np
+
+    d = mesh.devices.size
+    # Pad on the HOST and device_put straight to the sharded layout: the
+    # whole point is a corpus larger than one chip's HBM, so it must never
+    # be materialized on a single device on the way in.
+    corpus = np.asarray(corpus, np.float32)
+    n = corpus.shape[0]
+    pad = (-n) % d
+    if pad:
+        corpus = np.concatenate(
+            [corpus, np.zeros((pad, corpus.shape[1]), corpus.dtype)]
+        )
+    n_local = (n + pad) // d
+    corpus_dev = jax.device_put(corpus, NamedSharding(mesh, P(axis)))
+
+    def local_gather(cshard, idx):
+        dev = jax.lax.axis_index(axis)
+        local = idx - dev * n_local
+        ok = (local >= 0) & (local < n_local)
+        rows = cshard[jnp.clip(local, 0, n_local - 1)]
+        rows = jnp.where(ok[..., None], rows, jnp.zeros((), rows.dtype))
+        # sum of one-hot contributions + scatter to this chip's batch rows
+        return jax.lax.psum_scatter(
+            rows, axis, scatter_dimension=0, tiled=True
+        )
+
+    sharded = shard_map(
+        local_gather,
+        mesh=mesh,
+        in_specs=(P(axis, None), P()),
+        out_specs=P(axis, None, None),
+    )
+
+    @jax.jit
+    def gather(corpus, idxs):  # [B, G] -> [B, G, 1, T] batch-sharded
+        return sharded(corpus, idxs)[:, :, None, :]
+
+    return corpus_dev, gather
 
 
 def make_eval_step(
@@ -328,6 +412,7 @@ def make_indexed_train_step(
     with_grad_norms: bool = False,
     donate: bool = True,
     mesh=None,
+    shard_corpus: bool = False,
 ):
     """Train step over a device-resident corpus: takes [B, G] int32 index
     matrices and gathers waveform rows in HBM instead of shipping
@@ -335,10 +420,14 @@ def make_indexed_train_step(
     for NSynth shapes). Sampling semantics are identical to the array
     path — see ``NSynthDataset.sample_batch_indices``.
 
-    Under data parallelism pass the ``mesh``: the corpus is placed
-    replicated across it (each chip gathers its shard's rows locally — no
-    cross-chip traffic for batch assembly), index batches arrive sharded
-    on the leading dim, and XLA still inserts only the gradient all-reduce.
+    Under data parallelism pass the ``mesh``: by default the corpus is
+    placed replicated across it (each chip gathers its batch shard's rows
+    locally — zero cross-chip traffic for batch assembly), index batches
+    arrive sharded on the leading dim, and XLA still inserts only the
+    gradient all-reduce. ``shard_corpus=True`` instead shards the corpus
+    ROWS over the mesh (D-fold HBM capacity, one psum_scatter of the
+    batch per step — see ``make_sharded_corpus_gather``) for corpora that
+    do not fit one chip.
     """
     base = make_train_step(
         model, optimizer, weights, compute_dtype, with_grad_norms,
@@ -347,25 +436,29 @@ def make_indexed_train_step(
     # The corpus is a jit *argument*, not a closed-over constant: baking
     # tens of MB into the HLO bloats (de)serialization and the compile
     # cache; as an argument it stays resident on device across steps.
-    if mesh is not None:
-        from ..parallel import replicated
-
-        corpus_dev = jax.device_put(
-            jnp.asarray(corpus, jnp.float32), replicated(mesh)
-        )
+    if mesh is not None and shard_corpus:
+        corpus_dev, _gather = make_sharded_corpus_gather(mesh, corpus)
     else:
-        corpus_dev = jax.device_put(jnp.asarray(corpus, jnp.float32))
+        if mesh is not None:
+            from ..parallel import replicated
 
-    # The gather is its own (tiny) jit rather than fused into the train
-    # step: the one-program form at b=128 with the Pallas attention
-    # kernels crashes the remote-TPU AOT compile helper (subprocess exit
-    # 1; each half compiles fine alone — measured round 2). The gathered
-    # batch stays on device, so the split costs one extra dispatch and no
-    # host traffic; under DP the sharded idxs make the gather output
-    # batch-sharded while the replicated corpus gathers locally per chip.
-    @jax.jit
-    def _gather(corpus, idxs):
-        return corpus[idxs][:, :, None, :]  # [B, G, 1, T]
+            corpus_dev = jax.device_put(
+                jnp.asarray(corpus, jnp.float32), replicated(mesh)
+            )
+        else:
+            corpus_dev = jax.device_put(jnp.asarray(corpus, jnp.float32))
+
+        # The gather is its own (tiny) jit rather than fused into the
+        # train step: the one-program form at b=128 with the Pallas
+        # attention kernels crashes the remote-TPU AOT compile helper
+        # (subprocess exit 1; each half compiles fine alone — measured
+        # round 2). The gathered batch stays on device, so the split
+        # costs one extra dispatch and no host traffic; under DP the
+        # sharded idxs make the gather output batch-sharded while the
+        # replicated corpus gathers locally per chip.
+        @jax.jit
+        def _gather(corpus, idxs):
+            return corpus[idxs][:, :, None, :]  # [B, G, 1, T]
 
     def indexed_step(state: TrainState, idxs, temperature, rng):
         return base(state, _gather(corpus_dev, idxs), temperature, rng)

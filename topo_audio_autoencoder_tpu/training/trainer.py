@@ -92,6 +92,12 @@ class TrainerConfig:
     # inserted by XLA over ICI. batch_size must divide the device count.
     data_parallel: bool = False
     n_devices: int | None = None  # DP width; None = all devices
+    # Shard the TRAIN corpus rows over the mesh instead of replicating it:
+    # D-fold HBM capacity (toward real NSynth sizes) at the cost of one
+    # psum_scatter of the batch per step (make_sharded_corpus_gather).
+    # Requires data_parallel + device_corpus. The (4x smaller) val corpus
+    # stays replicated.
+    shard_corpus: bool = False
     # Fuse this many train steps into ONE compiled lax.scan dispatch
     # (device_corpus only; 0/1 = per-step dispatch). Each dispatch over a
     # remote-TPU transport costs ~100 ms of host round-trip, so small-batch
@@ -135,6 +141,12 @@ class Trainer:
                 )
         else:
             self.mesh = None
+        if config.shard_corpus and (
+            self.mesh is None or not config.device_corpus
+        ):
+            raise ValueError(
+                "shard_corpus requires data_parallel and device_corpus"
+            )
         self._build(config.encoder_lr, config.decoder_lr, config.complexity_penalty)
         self.state: TrainState | None = None
         self._ckpt_thread = None  # at most one async save in flight
@@ -176,6 +188,7 @@ class Trainer:
                 with_grad_norms=cfg.with_grad_norms,
                 donate=False,
                 mesh=self.mesh,
+                shard_corpus=cfg.shard_corpus,
             )
         if cfg.device_corpus:
             self.train_step = make_indexed_train_step(
@@ -187,6 +200,7 @@ class Trainer:
                 with_grad_norms=cfg.with_grad_norms,
                 donate=False,
                 mesh=self.mesh,
+                shard_corpus=cfg.shard_corpus,
             )
         else:
             self.train_step = make_train_step(
@@ -500,6 +514,11 @@ class Trainer:
             compute_dtype=(
                 jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
             ),
+            # Under data parallelism the tune stage runs on the SAME mesh
+            # as the production run: grid state replicated, batches sharded
+            # (VERDICT r3: the tuner previously ignored the mesh and would
+            # run single-chip on a real pod slice).
+            mesh=self.mesh,
         )
         # device_corpus: ship [B, G] indices per step and gather rows in
         # HBM, exactly like the production train loop (the array path ships

@@ -59,8 +59,25 @@ class VmappedGridTuner:
         gradient_clip_val: float = 10.0,
         compute_dtype=jnp.float32,
         weights: LossWeights = LossWeights(),
+        mesh=None,
     ):
+        """``mesh``: a 1-D 'data' mesh for data-parallel tuning. The grid
+        state (K param trees) replicates across it, batches shard on their
+        batch dim (the combo vmap axis stays un-sharded — every chip
+        advances all K combos on its batch shard), and XLA inserts the
+        gradient all-reduce, exactly like the production DP train step.
+        The reference's tuner is part of its training pipeline
+        (reference trainer.py:186-244), so DP parity covers it too."""
         import dataclasses
+
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import batch_sharding, replicated
+
+            self._bsh = batch_sharding(mesh)
+            self._rep = replicated(mesh)
+        else:
+            self._bsh = self._rep = None
 
         # vmapping the whole grid over the train step can't lower the
         # fused samplers' pallas_call (the scalar SMEM seed block has no
@@ -121,11 +138,23 @@ class VmappedGridTuner:
 
         tx = self.tx
 
-        def combo_step(params, opt_state, lr_e, lr_d, cpx, batch, temp, rng):
-            (loss, comps), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, cpx, batch, temp, rng
+        def grid_loss(params_k, cpxs, batch, temp, rngs):
+            # GRAD-OF-VMAP, not vmap-of-grad: each combo's loss depends
+            # only on its own params, so the gradient of the summed
+            # stacked loss IS the per-combo gradient stack — same math.
+            # vmap-of-grad would batch the conv *transpose* rules, which
+            # jax 0.9 refuses whenever avals carry mesh shardings (the
+            # conv batch rule's rhs-batched out_sharding branch raises
+            # NotImplementedError) — i.e. the moment the tuner runs
+            # data-parallel. grad-of-vmap differentiates the already-
+            # batched forward jaxpr; no batching rule runs in the
+            # backward, so the same program serves 1 chip and a mesh.
+            losses, _ = jax.vmap(loss_fn, in_axes=(0, 0, None, None, 0))(
+                params_k, cpxs, batch, temp, rngs
             )
-            grads = _cast_tree(grads, jnp.float32)
+            return losses.sum(), losses
+
+        def apply_one(params, opt_state, lr_e, lr_d, grads):
             updates, opt_state = tx.update(grads, opt_state, params)
             # two-group LR scaling == {encoder: adam(lr_e), decoder: adam(lr_d)}
             scaled = {
@@ -137,15 +166,20 @@ class VmappedGridTuner:
                 }
             }
             params = optax.apply_updates(params, scaled)
-            return params, opt_state, loss
+            return params, opt_state
 
+        # DP note: sharding comes from INPUT PLACEMENT only (batch sharded,
+        # grid state replicated — exactly like the production train step);
+        # GSPMD propagation from the placed inputs inserts the gradient
+        # all-reduce without in-graph constraints.
         def grid_step(state: GridState, batch, temp, rngs):
-            params, opt_state, loss = jax.vmap(
-                combo_step, in_axes=(0, 0, 0, 0, 0, None, None, 0)
-            )(
+            (_, loss), grads = jax.value_and_grad(grid_loss, has_aux=True)(
+                state.params, state.complexity_penalty, batch, temp, rngs
+            )
+            grads = _cast_tree(grads, jnp.float32)
+            params, opt_state = jax.vmap(apply_one)(
                 state.params, state.opt_state,
-                state.encoder_lr, state.decoder_lr, state.complexity_penalty,
-                batch, temp, rngs,
+                state.encoder_lr, state.decoder_lr, grads,
             )
             return state._replace(params=params, opt_state=opt_state), loss
 
@@ -168,6 +202,9 @@ class VmappedGridTuner:
                 r, sub = jax.random.split(r)
                 step_rngs = jax.random.split(sub, k_combos)
                 batch = corpus[idx][:, :, None, :]
+                # Under a mesh the gather stays chip-local: the corpus is
+                # replicated and idx arrives batch-sharded, so the gathered
+                # rows inherit the batch sharding by propagation.
                 st, loss = grid_step(st, batch, temp, step_rngs)
                 return (st, r), loss
 
@@ -202,7 +239,12 @@ class VmappedGridTuner:
         params = jax.jit(jax.vmap(init_one))(keys)
         opt_state = jax.vmap(self.tx.init)(params)
         enc, dec, cpx = (jnp.asarray([c[i] for c in combos]) for i in range(3))
-        return GridState(params, opt_state, enc, dec, cpx)
+        state = GridState(params, opt_state, enc, dec, cpx)
+        if self.mesh is not None:
+            from ..parallel import replicate
+
+            state = replicate(state, self.mesh)
+        return state
 
     def tune(
         self,
@@ -238,13 +280,25 @@ class VmappedGridTuner:
         """
         from .train_step import anneal_temperature
 
+        # Under a mesh: corpus replicated (chip-local gathers), every batch
+        # (waveforms or indices) sharded on its batch dim.
+        put_rep = (
+            (lambda x: jax.device_put(x, self._rep))
+            if self.mesh is not None
+            else jax.device_put
+        )
+        put_batch = (
+            (lambda x: jax.device_put(jnp.asarray(x), self._bsh))
+            if self.mesh is not None
+            else jnp.asarray
+        )
         gather = gather_val = None
         if corpus is not None:
-            corpus = jax.device_put(jnp.asarray(corpus, jnp.float32))
+            corpus = put_rep(jnp.asarray(corpus, jnp.float32))
             vc = (
                 corpus
                 if val_corpus is None
-                else jax.device_put(jnp.asarray(val_corpus, jnp.float32))
+                else put_rep(jnp.asarray(val_corpus, jnp.float32))
             )
             gather = jax.jit(lambda c, i: c[i][:, :, None, :])  # [B,G,1,T]
             gather_val = jax.jit(lambda c, i: c[i[:, 0]][:, None, :])  # [B,1,T]
@@ -266,14 +320,25 @@ class VmappedGridTuner:
                     )
                 idx_batches = [np.asarray(b) for b in train_batches(epoch)]
                 for s in range(0, len(idx_batches), scan_steps):
-                    seg = jnp.asarray(np.stack(idx_batches[s : s + scan_steps]))
+                    seg = np.stack(idx_batches[s : s + scan_steps])
+                    if self.mesh is not None:
+                        from jax.sharding import NamedSharding
+                        from jax.sharding import PartitionSpec as P
+
+                        # [k, B, G]: scan axis first, BATCH dim sharded
+                        seg = jax.device_put(
+                            jnp.asarray(seg),
+                            NamedSharding(self.mesh, P(None, "data")),
+                        )
+                    else:
+                        seg = jnp.asarray(seg)
                     state, rng, losses = self.scan_grid_step(
                         state, seg, temp, rng, corpus
                     )
                     train_curve.append(losses)  # [k, K] device ref
                 continue
             for batch in train_batches(epoch):
-                batch = jnp.asarray(batch)
+                batch = put_batch(batch)
                 if gather is not None:
                     batch = gather(corpus, batch)
                 if state is None:
@@ -298,7 +363,7 @@ class VmappedGridTuner:
         val_losses = np.zeros(len(combos))
         n_val = 0
         for batch in val_batches():
-            batch = jnp.asarray(batch)
+            batch = put_batch(batch)
             if gather_val is not None:
                 batch = gather_val(vc, batch)
             val_losses = val_losses + np.asarray(
