@@ -174,6 +174,9 @@ def main() -> None:
         # straight-through — reference encoder.py:341-357).
         sampler=_arg("--sampler", "gumbel", str),
         hard="--hard" in sys.argv,
+        # --learned-hc trains the README-documented learned per-rank
+        # beta/gamma/zeta stretch (requires --sampler hard_concrete).
+        learned_hc="--learned-hc" in sys.argv,
     )
     on_tpu = jax.default_backend() != "cpu"
     trainer = Trainer(
@@ -353,12 +356,18 @@ def main() -> None:
             names = ("best", "latest")
         else:
             patience += 1
-            # Durable per-epoch snapshot so --resume loses at most one epoch
-            # (the "best" save alone can be many epochs stale under patience).
-            names = ("latest",)
-        trainer.save_checkpoint(
-            names, epoch=epoch, block=not trainer.cfg.async_checkpoint
-        )
+            # Durable snapshot so --resume loses at most --ckpt-every
+            # epochs (the "best" save alone can be many epochs stale under
+            # patience). Default 1 = every epoch; large models should
+            # raise it — the n=32 state is ~1 GB, and its D2H fetch +
+            # single-core serialize costs more than a training epoch.
+            names = (
+                ("latest",) if epoch % _arg("--ckpt-every", 1) == 0 else ()
+            )
+        if names:
+            trainer.save_checkpoint(
+                names, epoch=epoch, block=not trainer.cfg.async_checkpoint
+            )
         t_ckpt = time.perf_counter() - tc
         emit(stage="epoch", epoch=epoch, train_loss=round(train_loss, 4),
              val_loss=round(val_loss, 4),

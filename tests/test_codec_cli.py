@@ -97,6 +97,30 @@ def test_sidecar_geometry(setup, capsys, tmp_path):
                   "--vertices", "20", "--clip-samples", str(T)])
 
 
+def test_geometry_learned_hc_stamp():
+    """learned_hc roundtrips geometry() -> _resolve_geometry ->
+    _build_model, so a learned-stretch checkpoint restores into the right
+    module without CLI flags."""
+    import argparse
+
+    from topo_audio_autoencoder_tpu.codec_cli import (
+        _build_model,
+        _resolve_geometry,
+    )
+    from topo_audio_autoencoder_tpu.models import AudioAutoencoder
+
+    model = AudioAutoencoder.create(
+        num_vertices=6, num_bands=4, sccn_hidden_dim=16, n_sccn_layers=2,
+        sampler="hard_concrete", learned_hc=True,
+    )
+    header = dict(model.geometry())
+    assert header["learned_hc"] is True
+    args = argparse.Namespace(checkpoint=None)
+    geom = _resolve_geometry(args, header)
+    rebuilt = _build_model(geom)
+    assert rebuilt.learned_hc is True and rebuilt.sampler == "hard_concrete"
+
+
 def test_roundtrip_gran_guard(setup, tmp_path):
     """roundtrip rejects an indivisible --clip-samples up front (ADVICE r3:
     it previously failed opaquely inside the jitted decoder)."""

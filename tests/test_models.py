@@ -394,6 +394,77 @@ def test_hard_concrete_gradients_flow(hc_model, hc_params):
     assert sum(float(jnp.abs(l).sum()) for l in enc_grads) > 0
 
 
+def test_learned_hc_init_matches_fixed_stretch(tables):
+    """learned_hc at its inits (beta=2/3, gamma=-0.1, zeta=1.1) must
+    reproduce the fixed-stretch sampler exactly — the learned stretch is a
+    strict generalization (reference README.md:15-18's 'learned
+    temperature/gamma/zeta', absent from the reference code)."""
+    kw = dict(
+        num_vertices=N, num_bands=4, sccn_hidden_dim=32, n_sccn_layers=2,
+        sampler="hard_concrete", use_fused_sampler=False,
+    )
+    fixed = AudioAutoencoder.create(**kw)
+    learned = AudioAutoencoder.create(**kw, learned_hc=True)
+    x = jax.random.normal(jax.random.PRNGKey(60), (2, 1, 4096))
+    rngs = {"params": jax.random.PRNGKey(61), "dropout": jax.random.PRNGKey(62)}
+    pf = fixed.init(rngs, x, 2.0 / 3.0, jax.random.PRNGKey(63), True)
+    pl = learned.init(rngs, x, 1.0, jax.random.PRNGKey(63), True)
+    for r in ("hc_beta_raw", "hc_gamma_raw", "hc_zeta_raw"):
+        assert r in pl["params"]["encoder"], pl["params"]["encoder"].keys()
+    of = fixed.apply(
+        pf, x, 2.0 / 3.0, jax.random.PRNGKey(64), True,
+        rngs={"dropout": jax.random.PRNGKey(65)},
+    )
+    ol = learned.apply(
+        pl, x, 123.0, jax.random.PRNGKey(64), True,  # temp arg must be ignored
+        rngs={"dropout": jax.random.PRNGKey(65)},
+    )
+    for a, b in zip(of.encoder_output.probs.ranks, ol.encoder_output.probs.ranks):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(of.aux["l0"]), np.asarray(ol.aux["l0"]), atol=1e-6
+    )
+
+
+def test_learned_hc_stretch_gets_gradients(tables):
+    """The learned beta/gamma/zeta must receive nonzero, finite gradients
+    through both the reconstruction and the expected-L0 term."""
+    model = AudioAutoencoder.create(
+        num_vertices=N, num_bands=4, sccn_hidden_dim=32, n_sccn_layers=2,
+        sampler="hard_concrete", learned_hc=True, use_fused_sampler=False,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(66), (1, 1, 4096))
+    params = model.init(
+        {"params": jax.random.PRNGKey(67), "dropout": jax.random.PRNGKey(68)},
+        x, 1.0, jax.random.PRNGKey(69), True,
+    )
+
+    def loss_fn(p):
+        o = model.apply(
+            p, x, 1.0, jax.random.PRNGKey(70), True,
+            rngs={"dropout": jax.random.PRNGKey(71)},
+        )
+        return jnp.mean((o.waveform - x) ** 2) + 0.01 * o.aux["l0"].mean()
+
+    g = jax.grad(loss_fn)(params)["params"]["encoder"]
+    for r in ("hc_beta_raw", "hc_gamma_raw", "hc_zeta_raw"):
+        v = np.asarray(g[r])
+        assert v.shape == (4,) and np.all(np.isfinite(v))
+        assert np.abs(v).sum() > 0, f"no gradient reached {r}"
+
+
+def test_learned_hc_requires_hard_concrete():
+    model = AudioAutoencoder.create(
+        num_vertices=N, num_bands=4, sccn_hidden_dim=32, n_sccn_layers=2,
+        sampler="gumbel", learned_hc=True,
+    )
+    with pytest.raises(ValueError, match="learned_hc"):
+        model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 1, 4096)), 1.0, jax.random.PRNGKey(2), True,
+        )
+
+
 def test_hard_concrete_hard_ste_path(tables):
     """sampler=hard_concrete + hard=True: binary forward, STE backward."""
     model = AudioAutoencoder.create(

@@ -117,6 +117,39 @@ def test_two_lr_groups(model, optimizer, stepped):
     assert upd_enc > 2 * upd_dec
 
 
+def test_flat_groups_optimizer_identical(model, state):
+    """flat_groups=True (fused per-group vector Adam) must be numerically
+    identical to the tree-form optimizer: same fixed gradient tree through
+    both, elementwise-equal params after several applications. (Comparing
+    full train steps instead is flaky — the different optimizer graphs
+    change XLA fusion inside the *backward*, perturbing grads at 1e-5.)"""
+    params = state.params
+    keys = jax.random.split(jax.random.PRNGKey(3), len(jax.tree.leaves(params)))
+    grads = jax.tree.unflatten(
+        jax.tree.structure(params),
+        [
+            jax.random.normal(k, l.shape, l.dtype) * 0.1
+            for k, l in zip(keys, jax.tree.leaves(params))
+        ],
+    )
+    results = []
+    for flat in (False, True):
+        opt = make_optimizer(
+            encoder_lr=1e-3, decoder_lr=1e-4, accumulate_grad_batches=1,
+            flat_groups=flat,
+        )
+        import optax
+
+        s, p = opt.init(params), params
+        for _ in range(3):
+            u, s = opt.update(grads, s, p)
+            p = optax.apply_updates(p, u)
+        results.append(p)
+    ref, flat = results
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(flat)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_accumulation_applies_every_k(stepped):
     """With accumulation 2, params change only on every 2nd micro-step."""
     states, _ = stepped

@@ -71,7 +71,7 @@ def read_tac(path) -> tuple[np.ndarray, dict]:
 
 _GEOM_DEFAULTS = {
     "vertices": 20, "bands": 16, "hidden": 64, "layers": 6,
-    "sampler": "gumbel", "hard": False,
+    "sampler": "gumbel", "hard": False, "learned_hc": False,
 }
 
 
@@ -122,6 +122,7 @@ def _build_model(geom: dict):
         max_active_vertices=geom["vertices"],
         sampler=geom["sampler"],
         hard=geom["hard"],
+        learned_hc=geom.get("learned_hc", False),
     )
 
 
@@ -194,6 +195,7 @@ def cmd_encode(args) -> None:
         "layers": geom["layers"],
         "sampler": geom["sampler"],
         "hard": geom["hard"],
+        "learned_hc": geom.get("learned_hc", False),
         "num_clips": int(wire.shape[0]),
         "bytes_per_clip": int(wire.shape[1]),
         "num_samples": args.clip_samples,

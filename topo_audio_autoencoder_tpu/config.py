@@ -36,6 +36,7 @@ class ModelConfig:
     max_active_vertices: int = 20
     hard: bool = False
     sampler: str = "gumbel"  # or "hard_concrete"
+    learned_hc: bool = False  # learn per-rank beta/gamma/zeta (hard_concrete)
     dropout: float = 0.1
     n_sccn_layers: int = 6
     pqmf_attenuation: float = 100.0

@@ -95,6 +95,7 @@ def main(argv: list[str] | None = None) -> None:
         max_active_vertices=cfg.model.max_active_vertices,
         hard=cfg.model.hard,
         sampler=cfg.model.sampler,
+        learned_hc=cfg.model.learned_hc,
         dropout=cfg.model.dropout,
         n_sccn_layers=cfg.model.n_sccn_layers,
         pqmf_attenuation=cfg.model.pqmf_attenuation,

@@ -46,6 +46,9 @@ class AudioAutoencoder(nn.Module):
     n_sccn_layers: int = 6
     use_jumping_knowledge: bool = False
     use_fused_sampler: bool = True
+    # Learned per-rank Hard Concrete stretch (beta/gamma/zeta) — see
+    # AudioEncoder.learned_hc. Requires sampler="hard_concrete".
+    learned_hc: bool = False
 
     @classmethod
     def create(
@@ -63,6 +66,7 @@ class AudioAutoencoder(nn.Module):
         max_rank: int = 3,
         use_jumping_knowledge: bool = False,
         use_fused_sampler: bool = True,
+        learned_hc: bool = False,
     ) -> "AudioAutoencoder":
         """Build tables + filterbank host-side once (audio2complex.py:18-38).
 
@@ -82,6 +86,7 @@ class AudioAutoencoder(nn.Module):
             n_sccn_layers=n_sccn_layers,
             use_jumping_knowledge=use_jumping_knowledge,
             use_fused_sampler=use_fused_sampler,
+            learned_hc=learned_hc,
         )
 
     def setup(self):
@@ -93,6 +98,7 @@ class AudioAutoencoder(nn.Module):
             hard=self.hard,
             sampler=self.sampler,
             use_fused_sampler=self.use_fused_sampler,
+            learned_hc=self.learned_hc,
         )
         self.decoder = AudioDecoder(
             sccn_hidden_dim=self.sccn_hidden_dim,
@@ -161,6 +167,7 @@ class AudioAutoencoder(nn.Module):
             "layers": self.n_sccn_layers,
             "sampler": self.sampler,
             "hard": self.hard,
+            "learned_hc": self.learned_hc,
             "min_active_vertices": self.min_active_vertices,
             "max_active_vertices": self.max_active_vertices,
         }

@@ -30,8 +30,10 @@ from typing import NamedTuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.samplers import (
+    HardConcreteParams,
     binary_gumbel,
     hard_concrete,
     hard_concrete_l0_penalty,
@@ -109,12 +111,23 @@ class AudioEncoder(nn.Module):
     # (on-chip PRNG; differentiable via closed-form custom VJP). Falls
     # back to the pure-JAX sampler on other backends.
     use_fused_sampler: bool = True
+    # Learn the Hard Concrete stretch per rank (the reference README's
+    # "learned temperature/gamma/zeta", README.md:15-18 — described but
+    # never implemented in the reference code). Four scalars each for
+    # beta/gamma/zeta, constrained to their valid ranges via softplus
+    # (beta > 0, gamma < 0, zeta > 1) and broadcast over each rank's
+    # simplices. Replaces the annealed temperature for the sampler AND
+    # the expected-L0 term, so the gate sharpness becomes trainable.
+    # Only meaningful with sampler="hard_concrete".
+    learned_hc: bool = False
 
     def setup(self):
         if self.sampler not in ("gumbel", "hard_concrete"):
             raise ValueError(
                 f"sampler must be 'gumbel' or 'hard_concrete', got {self.sampler!r}"
             )
+        if self.learned_hc and self.sampler != "hard_concrete":
+            raise ValueError("learned_hc requires sampler='hard_concrete'")
         t = self.tables
         self.sizes = t.sizes
         self.total_simplices = t.total_simplices
@@ -160,6 +173,38 @@ class AudioEncoder(nn.Module):
             for r in range(4)
         ]
         self.embed_norms = [nn.LayerNorm(name=f"embed_norm{r}") for r in range(4)]
+        if self.learned_hc:
+            # softplus^-1(x) = log(expm1(x)); inits reproduce the fixed
+            # defaults (beta=2/3 per Louizos et al. 2018, gamma=-0.1,
+            # zeta=1.1) so an untrained learned_hc model starts identical
+            # to the fixed-stretch sampler.
+            def inv_softplus(x):
+                return float(np.log(np.expm1(x)))
+
+            self.hc_beta_raw = self.param(
+                "hc_beta_raw",
+                lambda k: jnp.full((4,), inv_softplus(2.0 / 3.0), jnp.float32),
+            )
+            self.hc_gamma_raw = self.param(
+                "hc_gamma_raw",
+                lambda k: jnp.full((4,), inv_softplus(0.1), jnp.float32),
+            )
+            self.hc_zeta_raw = self.param(
+                "hc_zeta_raw",
+                lambda k: jnp.full((4,), inv_softplus(0.1), jnp.float32),
+            )
+
+    def _hc_stretch(self, dtype):
+        """Per-simplex (beta, gamma, zeta) arrays from the per-rank learned
+        raw params, range-constrained and broadcast by rank size."""
+        reps = np.asarray(self.sizes)
+        expand = lambda v: jnp.repeat(  # noqa: E731
+            v.astype(dtype), reps, total_repeat_length=self.total_simplices
+        )
+        beta = expand(nn.softplus(self.hc_beta_raw))
+        gamma = expand(-nn.softplus(self.hc_gamma_raw))
+        zeta = expand(1.0 + nn.softplus(self.hc_zeta_raw))
+        return beta, gamma, zeta
 
     def compute_logits(self, bands: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         """[B, T, num_bands] (channels-last PQMF bands) -> [B, S_total]."""
@@ -203,7 +248,18 @@ class AudioEncoder(nn.Module):
         # deterministically (sigmoid(l/T), encoder.py:330) before the
         # Bernoulli draw, so gumbel+hard uses no sampling noise here.
         if self.sampler == "hard_concrete":
-            if self.use_fused_sampler and train and sample_rng is not None:
+            if self.learned_hc:
+                # Learned per-rank stretch: the fused Pallas kernel bakes
+                # the default (beta from the schedule, gamma/zeta consts),
+                # so the learned path always uses the pure-JAX sampler —
+                # the extra cost is three [S] broadcasts, noise.
+                beta, gamma, zeta = self._hc_stretch(biased.dtype)
+                probs_all = hard_concrete(
+                    biased, sample_rng, beta,
+                    HardConcreteParams(gamma=gamma, zeta=zeta),
+                    training=train,
+                )
+            elif self.use_fused_sampler and train and sample_rng is not None:
                 from ..ops.pallas_kernels import hard_concrete_fused_diff
 
                 probs_all = hard_concrete_fused_diff(
@@ -269,7 +325,12 @@ class AudioEncoder(nn.Module):
         # Only the Hard Concrete gate has a closed form; the Gumbel path
         # reports zero (the reference has no analog — its sparsity pressure
         # comes entirely from the diversity/entropy penalties).
-        if self.sampler == "hard_concrete":
+        if self.sampler == "hard_concrete" and self.learned_hc:
+            beta, gamma, zeta = self._hc_stretch(biased.dtype)
+            l0 = hard_concrete_l0_penalty(
+                biased, beta, HardConcreteParams(gamma=gamma, zeta=zeta)
+            ).mean(axis=-1)
+        elif self.sampler == "hard_concrete":
             l0 = hard_concrete_l0_penalty(biased, temperature).mean(axis=-1)
         else:
             l0 = jnp.zeros(logits.shape[:-1], logits.dtype)

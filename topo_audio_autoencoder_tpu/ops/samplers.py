@@ -77,7 +77,12 @@ def binary_gumbel(
 
 @dataclass(frozen=True)
 class HardConcreteParams:
-    """Stretch parameters from Louizos et al. (2018) §4."""
+    """Stretch parameters from Louizos et al. (2018) §4.
+
+    ``gamma``/``zeta`` may also be arrays broadcastable against the
+    log-alpha tensor — the encoder's learned per-rank stretch
+    (``AudioEncoder.learned_hc``) passes per-simplex [S] vectors.
+    """
 
     gamma: float = -0.1
     zeta: float = 1.1

@@ -143,6 +143,13 @@ def stft_magnitude(
         mag = jnp.sqrt(re * re + im * im + 1e-24)
         return (mag / np.sqrt(n_fft)).astype(frames.dtype)
     window = jnp.asarray(np.hanning(n_fft + 1)[:-1], dtype=x.dtype)
+    # NOTE: the fft paths cannot run inside a grad-of-vmap program over
+    # mesh-sharded inputs on the CPU backend — XLA:CPU's FftThunk
+    # RET_CHECK-rejects the non-dim0-major layouts that composition
+    # produces (fft_thunk.cc "IsMonotonicWithDim0Major"), and neither
+    # optimization_barrier nor rank-2 reshapes pin the autodiff
+    # intermediates. Callers in that regime (the vmapped grid tuner) pass
+    # method='matmul' explicitly — see spectral_distance(method=...).
     if method == "hybrid":
         return _mag_hybrid(frames * window, n_fft)
     spec = jnp.fft.rfft(frames * window, axis=-1)
@@ -167,6 +174,7 @@ def spectral_distance(
     scales: tuple[int, ...] = DEFAULT_SCALES,
     log_epsilon: float = 1e-7,
     batch_ndim: int = 1,
+    method: str = "auto",
 ) -> jnp.ndarray:
     """Batch-preserving AudioDistanceV1: per scale, relative-L2 on linear
     magnitudes (normalized by x's energy) + L1 on log magnitudes, summed
@@ -174,13 +182,17 @@ def spectral_distance(
 
     STFTs are computed in float32 regardless of input dtype: the loss is the
     training signal and bf16 magnitudes lose too much of the log term.
+
+    ``method`` forwards to ``stft_magnitude`` — callers whose program is a
+    grad-of-vmap over mesh-sharded inputs must pass 'matmul' (see the
+    FftThunk note there).
     """
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
     dist = 0.0
     for s in scales:
-        sx = stft_magnitude(x, s)
-        sy = stft_magnitude(y, s)
+        sx = stft_magnitude(x, s, method=method)
+        sy = stft_magnitude(y, s, method=method)
         lin = _mean_over_nonbatch((sx - sy) ** 2, batch_ndim) / (
             _mean_over_nonbatch(sx**2, batch_ndim) + 1e-7
         )

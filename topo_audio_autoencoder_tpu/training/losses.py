@@ -40,15 +40,21 @@ def autoencoder_loss(
     contrastive: jnp.ndarray | None = None,  # scalar, optional
     scales: tuple[int, ...] = DEFAULT_SCALES,
     with_per_sample: bool = False,
+    stft_method: str = "auto",
 ):
     """Total loss (scalar) + components dict of scalars.
 
     ``with_per_sample`` adds the [B] per-sample total under
     components["per_sample"] (used by padded validation to mask out pad
     rows; keep it off the train path — the metric writer expects scalars).
+
+    ``stft_method`` forwards to the spectral term; the vmapped grid tuner
+    passes 'matmul' (identical on TPU where 'auto' already picks matmul;
+    on CPU it sidesteps an XLA FftThunk layout RET_CHECK under
+    grad-of-vmap + mesh sharding — see ops/stft.py).
     """
     spec = spectral_distance(
-        recon[:, 0, :], target[:, 0, :], scales
+        recon[:, 0, :], target[:, 0, :], scales, method=stft_method
     )  # [B]
     per_sample = (
         spec

@@ -46,8 +46,18 @@ def make_optimizer(
     decoder_lr: float = 1e-4,
     gradient_clip_val: float = 10.0,
     accumulate_grad_batches: int = 4,
+    flat_groups: bool = False,
 ) -> optax.GradientTransformation:
-    """clip -> {encoder: adam(lr_e), decoder: adam(lr_d)}, accumulated."""
+    """clip -> {encoder: adam(lr_e), decoder: adam(lr_d)}, accumulated.
+
+    ``flat_groups=True`` wraps each group's Adam in ``optax.flatten``: the
+    ~100-leaf param tree updates as TWO fused vectors instead of dozens of
+    sub-ms elementwise ops (the xprof "flat tail",
+    benchmarks/RESULTS.md step-time table). Numerically identical
+    (tests/test_training.py pins equality); OFF by default because the
+    opt_state pytree changes shape, which breaks Orbax restore of
+    checkpoints written with the unflattened layout.
+    """
 
     def label_fn(params):
         def label_tree(tree, label):
@@ -60,12 +70,13 @@ def make_optimizer(
             }
         }
 
+    wrap = optax.flatten if flat_groups else (lambda t: t)
     inner = optax.chain(
         optax.clip_by_global_norm(gradient_clip_val),
         optax.multi_transform(
             {
-                "encoder": optax.adam(encoder_lr),
-                "decoder": optax.adam(decoder_lr),
+                "encoder": wrap(optax.adam(encoder_lr)),
+                "decoder": wrap(optax.adam(decoder_lr)),
             },
             label_fn,
         ),

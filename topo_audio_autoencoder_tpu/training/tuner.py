@@ -128,11 +128,15 @@ class VmappedGridTuner:
                 ),
             }
             w = self.base_weights._replace(complexity_penalty=cpx)
+            # stft_method='matmul': identical on TPU ('auto' picks matmul);
+            # on CPU the grad-of-vmap + mesh-sharded composition trips an
+            # XLA FftThunk layout RET_CHECK (see ops/stft.py) — the matmul
+            # DFT has no fft thunk in either direction.
             total, comps = autoencoder_loss(
                 recon.astype(jnp.float32),
                 flat.reshape(b, g, 1, t)[:, 0].astype(jnp.float32),
                 {k: v.astype(jnp.float32) for k, v in aux.items()},
-                enc.valid, w, contrastive,
+                enc.valid, w, contrastive, stft_method="matmul",
             )
             return total, comps
 
@@ -215,7 +219,8 @@ class VmappedGridTuner:
             out = model_ref.apply(params, batch, 1.0, None, False)
             w = self.base_weights._replace(complexity_penalty=cpx)
             total, _ = autoencoder_loss(
-                out.waveform, batch, out.aux, out.valid, w
+                out.waveform, batch, out.aux, out.valid, w,
+                stft_method="matmul",
             )
             return total
 
