@@ -22,6 +22,7 @@ from pathlib import Path
 RUNS = (
     ("gumbel (soft)", "capacity_n20_c64"),
     ("hard_concrete", "discrete_hc"),
+    ("hard_concrete (learned stretch)", "discrete_hc_learned"),
     ("STE (hard)", "discrete_ste"),
 )
 
