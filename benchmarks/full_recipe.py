@@ -346,24 +346,28 @@ def main() -> None:
         if epoch == max_epochs // 2:
             save_wav(out / "sample_epoch_mid.wav", np.asarray(wav[0]), 16000)
         tc = time.perf_counter()
-        if val_loss < best_val:
+        improving = val_loss < best_val
+        if improving:
             best_val = val_loss
             trainer.metrics.best_val_loss = val_loss
             trainer.metrics.best_epoch = epoch
             patience = 0
-            # Improving epoch: best == latest — ONE device fetch, two names
-            # (the 198 MB D2H is ~5 s over the tunnel; don't pay it twice).
-            names = ("best", "latest")
         else:
             patience += 1
-            # Durable snapshot so --resume loses at most --ckpt-every
-            # epochs (the "best" save alone can be many epochs stale under
-            # patience). Default 1 = every epoch; large models should
-            # raise it — the n=32 state is ~1 GB, and its D2H fetch +
-            # single-core serialize costs more than a training epoch.
-            names = (
-                ("latest",) if epoch % _arg("--ckpt-every", 1) == 0 else ()
-            )
+        # Durable snapshot so --resume loses at most --ckpt-every epochs.
+        # Default 1 = every epoch; large models should raise it — the n=32
+        # state is ~1 GB, and its D2H fetch + single-core serialize costs
+        # more than a training epoch. The cadence gates BOTH names: early
+        # in training "best" improves every epoch, so an ungated best-save
+        # would make the run checkpoint-bound anyway (see CLAUDE.md). The
+        # "best" snapshot therefore holds the best *saved* epoch; metrics
+        # (best_val_loss/best_epoch) still track the true best exactly.
+        if epoch % _arg("--ckpt-every", 1) == 0:
+            # Improving epoch: best == latest — ONE device fetch, two names
+            # (the 198 MB D2H is ~5 s over the tunnel; don't pay it twice).
+            names = ("best", "latest") if improving else ("latest",)
+        else:
+            names = ()
         if names:
             trainer.save_checkpoint(
                 names, epoch=epoch, block=not trainer.cfg.async_checkpoint
