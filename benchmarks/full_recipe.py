@@ -54,10 +54,11 @@ def _arg(name, default, cast=int):
 def resume_run(trainer, out: Path) -> int:
     """Restore an interrupted recipe run in place; return the next epoch.
 
-    Picks the freshest durable checkpoint ("latest" written every epoch,
-    falling back to "best", which can be many epochs stale under
-    patience), restores the full training snapshot (params, opt state,
-    metrics, curriculum epoch, host PRNG key — Trainer.resume_from), and
+    Picks the freshest durable checkpoint ("latest", written every
+    --ckpt-every epochs, falling back to "best", which holds the best
+    *saved* epoch and may lag the true best under the same cadence),
+    restores the full training snapshot (params, opt state, metrics,
+    curriculum epoch, host PRNG key — Trainer.resume_from), and
     truncates probe-log entries the resumed segment will re-emit
     (including any stale "final" row). Returns 0 when there is nothing
     to resume from.
@@ -67,8 +68,8 @@ def resume_run(trainer, out: Path) -> int:
     ckpt = CheckpointManager(out / "checkpoints")
     # A kill mid-save can leave a truncated snapshot (restore raises on
     # missing leaves); fall back to the next-freshest durable name rather
-    # than crashing the whole recipe — resuming from "best" loses at most
-    # the epochs since the last val improvement.
+    # than crashing the whole recipe — under cadence gating each fallback
+    # step loses at most --ckpt-every epochs beyond the freshest name.
     start_epoch = 0
     for name in ("latest", "best"):
         if not ckpt.exists(name):
@@ -327,6 +328,24 @@ def main() -> None:
     t0 = time.perf_counter()
     cfg = trainer.cfg
     best_val = trainer.metrics.best_val_loss if start_epoch else float("inf")
+    # Durability tracking (ADVICE r4): the val loss held by the durable
+    # "best" checkpoint. Under --ckpt-every>1 the global best_val can be
+    # set on epochs that are never saved; gating best-saves on it would
+    # then starve "best" forever. best_saved_val only ever reflects what
+    # is actually on disk — read it back from the "best" sidecar on
+    # resume (metrics.best_val_loss at save time equals the saved epoch's
+    # val loss, because the save runs after the metrics update).
+    best_saved_val = float("inf")
+    if start_epoch:
+        from topo_audio_autoencoder_tpu.training import CheckpointManager
+
+        _ck = CheckpointManager(out / "checkpoints")
+        if _ck.exists("best"):
+            _ts = (_ck.load_extra("best") or {}).get("train_state") or {}
+            best_saved_val = float(
+                _ts.get("metrics", {}).get("best_val_loss", float("inf"))
+            )
+    last_epoch, last_val, last_saved = None, None, None
     patience = (
         max(0, (start_epoch - 1) - trainer.metrics.best_epoch)
         if start_epoch and trainer.metrics.best_epoch >= 0
@@ -360,18 +379,28 @@ def main() -> None:
         # more than a training epoch. The cadence gates BOTH names: early
         # in training "best" improves every epoch, so an ungated best-save
         # would make the run checkpoint-bound anyway (see CLAUDE.md). The
-        # "best" snapshot therefore holds the best *saved* epoch; metrics
-        # (best_val_loss/best_epoch) still track the true best exactly.
+        # "best" snapshot holds the best *saved* epoch — gated on
+        # best_saved_val, NOT the global best_val, so an unsaved
+        # off-cadence improvement can never starve later best-saves
+        # (ADVICE r4); metrics (best_val_loss/best_epoch) still track the
+        # true best exactly.
         if epoch % _arg("--ckpt-every", 1) == 0:
-            # Improving epoch: best == latest — ONE device fetch, two names
-            # (the 198 MB D2H is ~5 s over the tunnel; don't pay it twice).
-            names = ("best", "latest") if improving else ("latest",)
+            # Improving-vs-saved epoch: best == latest — ONE device fetch,
+            # two names (the 198 MB D2H is ~5 s over the tunnel; don't pay
+            # it twice).
+            if val_loss < best_saved_val:
+                names = ("best", "latest")
+                best_saved_val = val_loss
+            else:
+                names = ("latest",)
         else:
             names = ()
         if names:
             trainer.save_checkpoint(
                 names, epoch=epoch, block=not trainer.cfg.async_checkpoint
             )
+            last_saved = epoch
+        last_epoch, last_val = epoch, val_loss
         t_ckpt = time.perf_counter() - tc
         emit(stage="epoch", epoch=epoch, train_loss=round(train_loss, 4),
              val_loss=round(val_loss, 4),
@@ -382,6 +411,18 @@ def main() -> None:
         if patience >= cfg.patience:
             emit(stage="early_stop", epoch=epoch)
             break
+    # Final durable flush (ADVICE r4): cadence gating can leave the last
+    # up-to-(ckpt_every-1) epochs — including an early-stop epoch or the
+    # reported best — with no durable snapshot. Save "latest"
+    # unconditionally (and "best" when the in-memory state beats the best
+    # *saved* val) so the "done" line below never reports a value no
+    # checkpoint contains.
+    if last_epoch is not None and last_saved != last_epoch:
+        names = ["latest"]
+        if last_val < best_saved_val:
+            names.insert(0, "best")
+            best_saved_val = last_val
+        trainer.save_checkpoint(tuple(names), epoch=last_epoch, block=True)
     trainer.finish_checkpoints()  # last async save durable before exit
     # metrics.save inside the loop runs BEFORE the best-val update for that
     # epoch; re-save so the on-disk best fields match the final state.
