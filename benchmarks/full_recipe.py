@@ -178,6 +178,13 @@ def main() -> None:
         # --learned-hc trains the README-documented learned per-rank
         # beta/gamma/zeta stretch (requires --sampler hard_concrete).
         learned_hc="--learned-hc" in sys.argv,
+        # --pack "0,0,512,256": static-capacity packed operators (top-K
+        # active slicing, topology/packed.py) — the large-n perf lever.
+        pack_capacities=_arg(
+            "--pack",
+            None,
+            lambda s: tuple(int(v) for v in s.split(",")),
+        ),
     )
     on_tpu = jax.default_backend() != "cpu"
     trainer = Trainer(

@@ -108,6 +108,13 @@ def _resolve_geometry(args, header: dict | None) -> dict:
                 + ", ".join(f"{s}={v}" for s, v in sources.items())
             )
         geom[k] = next(iter(sources.values()), dflt)
+    # Packed-operator capacities ride the sidecar stamp only (no CLI flag
+    # — they are an architecture fact of the trained model); the header
+    # may carry them for checkpoint-free decode.
+    pc = side.get("pack_capacities")
+    if header and header.get("pack_capacities") is not None:
+        pc = header["pack_capacities"]
+    geom["pack_capacities"] = tuple(pc) if pc is not None else None
     return geom
 
 
@@ -123,6 +130,7 @@ def _build_model(geom: dict):
         sampler=geom["sampler"],
         hard=geom["hard"],
         learned_hc=geom.get("learned_hc", False),
+        pack_capacities=geom.get("pack_capacities"),
     )
 
 

@@ -40,6 +40,10 @@ class ModelConfig:
     dropout: float = 0.1
     n_sccn_layers: int = 6
     pqmf_attenuation: float = 100.0
+    # Static-capacity packed operators (topology/packed.py): per-rank
+    # top-K capacities, e.g. (0, 0, 512, 256) packs triangles/tetra at
+    # n=32 (0 = keep that rank dense). None = fully dense masked-static.
+    pack_capacities: tuple | None = None
 
 
 @dataclass

@@ -99,6 +99,7 @@ def main(argv: list[str] | None = None) -> None:
         dropout=cfg.model.dropout,
         n_sccn_layers=cfg.model.n_sccn_layers,
         pqmf_attenuation=cfg.model.pqmf_attenuation,
+        pack_capacities=cfg.model.pack_capacities,
     )
     train_ds, val_ds, dists = prepare_data(cfg)
 

@@ -49,6 +49,10 @@ class AudioAutoencoder(nn.Module):
     # Learned per-rank Hard Concrete stretch (beta/gamma/zeta) — see
     # AudioEncoder.learned_hc. Requires sampler="hard_concrete".
     learned_hc: bool = False
+    # Static-capacity packed operators (topology/packed.py): per-rank
+    # top-K capacities, e.g. (None, None, 512, 256) at n=32 packs
+    # triangles/tetra; None keeps the fully-dense masked-static path.
+    pack_capacities: tuple | None = None
 
     @classmethod
     def create(
@@ -67,6 +71,7 @@ class AudioAutoencoder(nn.Module):
         use_jumping_knowledge: bool = False,
         use_fused_sampler: bool = True,
         learned_hc: bool = False,
+        pack_capacities: tuple | None = None,
     ) -> "AudioAutoencoder":
         """Build tables + filterbank host-side once (audio2complex.py:18-38).
 
@@ -87,6 +92,9 @@ class AudioAutoencoder(nn.Module):
             use_jumping_knowledge=use_jumping_knowledge,
             use_fused_sampler=use_fused_sampler,
             learned_hc=learned_hc,
+            pack_capacities=(
+                tuple(pack_capacities) if pack_capacities is not None else None
+            ),
         )
 
     def setup(self):
@@ -99,6 +107,7 @@ class AudioAutoencoder(nn.Module):
             sampler=self.sampler,
             use_fused_sampler=self.use_fused_sampler,
             learned_hc=self.learned_hc,
+            pack_capacities=self.pack_capacities,
         )
         self.decoder = AudioDecoder(
             sccn_hidden_dim=self.sccn_hidden_dim,
@@ -146,12 +155,42 @@ class AudioAutoencoder(nn.Module):
 
         rect = enforce_constraints(*probs.ranks, self.tables)
         masks = tuple((p > 0).astype(p.dtype) for p in rect.ranks)
-        embeddings = tuple(
-            self.encoder.embed_norms[r](self.encoder.embed_tables[r])
-            * rect.ranks[r][..., None]
-            for r in range(4)
-        )
-        ops = build_operators(rect, self.tables, masks=masks)
+        if self.pack_capacities is not None:
+            # Codec decode on the packed path: the thresholded latent is
+            # sparse, so packing is exact whenever capacity covers the
+            # active set (topology/packed.py) — and the decode attention
+            # memory shrinks from sum(S_r) to sum(K_r) rows.
+            from ..topology.packed import build_packed_operators
+
+            ops = build_packed_operators(
+                rect,
+                self.tables,
+                self.pack_capacities,
+                masks=masks,
+                select_key=tuple(
+                    m + p for m, p in zip(masks, rect.ranks)
+                ),
+            )
+            embeddings = tuple(
+                self.encoder.embed_norms[r](self.encoder.embed_tables[r])
+                * rect.ranks[r][..., None]
+                if ops.idx[r] is None
+                else jnp.take(
+                    self.encoder.embed_norms[r](self.encoder.embed_tables[r]),
+                    ops.idx[r],
+                    axis=0,
+                )
+                * ops.probs[r][..., None]
+                for r in range(4)
+            )
+            masks = ops.masks
+        else:
+            embeddings = tuple(
+                self.encoder.embed_norms[r](self.encoder.embed_tables[r])
+                * rect.ranks[r][..., None]
+                for r in range(4)
+            )
+            ops = build_operators(rect, self.tables, masks=masks)
         sub = self.decoder(embeddings, ops, masks, desired_length, train)
         return self.pqmf.inverse(jnp.swapaxes(sub, -1, -2))
 
@@ -170,6 +209,11 @@ class AudioAutoencoder(nn.Module):
             "learned_hc": self.learned_hc,
             "min_active_vertices": self.min_active_vertices,
             "max_active_vertices": self.max_active_vertices,
+            "pack_capacities": (
+                list(self.pack_capacities)
+                if self.pack_capacities is not None
+                else None
+            ),
         }
 
     def __call__(

@@ -120,6 +120,10 @@ class AudioEncoder(nn.Module):
     # the expected-L0 term, so the gate sharpness becomes trainable.
     # Only meaningful with sampler="hard_concrete".
     learned_hc: bool = False
+    # Static-capacity packed operators (topology/packed.py): per-rank
+    # top-K active slicing for large hierarchies where the dense factored
+    # products pay for every C(n,k) row. None = dense masked-static.
+    pack_capacities: tuple | None = None
 
     def setup(self):
         if self.sampler not in ("gumbel", "hard_concrete"):
@@ -312,14 +316,50 @@ class AudioEncoder(nn.Module):
         masks = tuple((p > 0).astype(logits.dtype) for p in out_ranks.ranks)
         valid = out_ranks.vertices.sum(axis=-1) > 0
 
-        # Masked-static embeddings (encoder.py:227-263): LN(table) * prob.
-        embeddings = tuple(
-            self.embed_norms[r](self.embed_tables[r]) * out_ranks.ranks[r][..., None]
-            for r in range(4)
-        )
-        # Operators from the *soft* rectified probs in both paths
-        # (encoder.py:384 passes ``rectified``); masks from the output probs.
-        ops = build_operators(rect, self.tables, masks=masks)
+        if self.pack_capacities is not None:
+            # Static-capacity packed path (topology/packed.py): ops,
+            # embeddings, and masks for the packed ranks live in top-K
+            # packed layout; probs/rectified (the latent + loss inputs)
+            # stay full. Selection key mask+rect keeps every active row
+            # ahead of every inactive one.
+            from ..topology.packed import build_packed_operators
+
+            ops = build_packed_operators(
+                rect,
+                self.tables,
+                self.pack_capacities,
+                masks=masks,
+                select_key=tuple(
+                    m + p for m, p in zip(masks, rect.ranks)
+                ),
+            )
+            embeddings = tuple(
+                self.embed_norms[r](self.embed_tables[r])
+                * out_ranks.ranks[r][..., None]
+                if ops.idx[r] is None
+                else jnp.take(
+                    self.embed_norms[r](self.embed_tables[r]),
+                    ops.idx[r],
+                    axis=0,
+                )
+                * jnp.take_along_axis(
+                    out_ranks.ranks[r], ops.idx[r], axis=-1
+                )[..., None]
+                for r in range(4)
+            )
+            masks = ops.masks
+        else:
+            # Masked-static embeddings (encoder.py:227-263):
+            # LN(table) * prob.
+            embeddings = tuple(
+                self.embed_norms[r](self.embed_tables[r])
+                * out_ranks.ranks[r][..., None]
+                for r in range(4)
+            )
+            # Operators from the *soft* rectified probs in both paths
+            # (encoder.py:384 passes ``rectified``); masks from the
+            # output probs.
+            ops = build_operators(rect, self.tables, masks=masks)
 
         # Expected-L0 sparsity term: mean gate-open probability per sample.
         # Only the Hard Concrete gate has a closed form; the Gumbel path

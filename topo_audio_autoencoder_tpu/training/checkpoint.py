@@ -1,8 +1,9 @@
 """Orbax checkpointing: params, optimizer state, metrics, epoch, PRNG key.
 
 Replaces the reference's ``torch.save`` dict-of-state checkpoints
-(reference: trainer.py:417-453) with Orbax. Async-capable saves give
-preemption tolerance (SURVEY §5.3-4); cadence decisions stay in the trainer.
+(reference: trainer.py:417-453) with Orbax. Preemption tolerance
+(SURVEY §5.3-4) comes from the trainer's background-thread saves and the
+crash-safe swap-rename here; cadence decisions stay in the trainer.
 
 Layout: ``<dir>/<name>/`` contains the composite checkpoint; ``latest`` /
 ``best`` are plain names like the reference's (trainer.py:148-161).
@@ -32,20 +33,17 @@ def _make_handler():
 class CheckpointManager:
     """Thin wrapper over an Orbax checkpointer keyed by name.
 
-    ``use_async=True`` saves in a background thread (preemption tolerance
-    without blocking the train loop, SURVEY §5.3); in-flight saves are
-    finalized by ``wait()`` / the next save / interpreter exit.
-    """
+    Saves are synchronous at this layer by design: the crash-safe
+    swap-rename in ``save`` must wait for the serialize anyway, so an
+    Orbax AsyncCheckpointer could never overlap anything here. Async
+    checkpointing lives in the trainer (``Trainer.save_checkpoint``
+    ``block=False``), which snapshots device-side and runs this whole
+    save on a background thread (SURVEY §5.3)."""
 
-    def __init__(self, directory: str | Path, use_async: bool = False):
+    def __init__(self, directory: str | Path):
         self.directory = Path(directory).resolve()
         self.directory.mkdir(parents=True, exist_ok=True)
-        self._ckptr = (
-            ocp.AsyncCheckpointer(_make_handler())
-            if use_async
-            else ocp.Checkpointer(_make_handler())
-        )
-        self._async = use_async
+        self._ckptr = ocp.Checkpointer(_make_handler())
 
     def _path(self, name: str) -> Path:
         return self.directory / name
@@ -73,7 +71,6 @@ class CheckpointManager:
         if swap.exists():
             shutil.rmtree(swap)
         self._ckptr.save(swap, jax.device_get(state))
-        self.wait()  # the swap must be complete before it replaces the old
         if path.exists():
             shutil.rmtree(path)
         swap.rename(path)
@@ -82,11 +79,6 @@ class CheckpointManager:
 
     def _extra_path(self, name: str) -> Path:
         return self.directory / f"{name}.extra.json"
-
-    def wait(self) -> None:
-        """Block until any in-flight async save is durable."""
-        if self._async:
-            self._ckptr.wait_until_finished()
 
     def _resolve(self, name: str) -> Path:
         """The final dir, or a complete ``.swap`` left by a crash between
@@ -99,7 +91,6 @@ class CheckpointManager:
     def restore(self, name: str, template: Any = None) -> Any:
         """Restore by name; ``template`` gives dtypes/shapes (and
         distinguishes lists from tuples, which the on-disk tree loses)."""
-        self.wait()
         path = self._resolve(name)
         if template is not None:
             target = jax.tree.map(np.asarray, jax.device_get(template))

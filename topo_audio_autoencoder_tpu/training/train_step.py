@@ -341,8 +341,8 @@ def make_sharded_corpus_gather(mesh, corpus, axis: str = "data"):
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    try:  # moved to jax.sharding in newer releases
-        from jax.sharding import shard_map
+    try:  # public spelling since jax 0.6
+        from jax import shard_map
     except ImportError:  # pragma: no cover
         from jax.experimental.shard_map import shard_map
 
