@@ -342,3 +342,50 @@ def test_full_recipe_resume_run(tmp_path, model, datasets):
     assert kept == [-1, 0, 1]  # rows >= start_epoch and "final" dropped
     assert t_b.metrics.train_losses == [1.0, 0.9]
     assert t_b.metrics.best_epoch == 1
+
+
+def test_checkpoint_moments_bf16_roundtrip(tmp_path, model, datasets):
+    """checkpoint_moments_bf16 stores the Adam moments bfloat16 on disk
+    (~2/3 the state bytes — the n=32 motivation, VERDICT r4 #3), restores
+    them back to f32, and the resumed state matches the live one to bf16
+    rounding; params roundtrip bit-exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    train, val = datasets
+    trainer = Trainer(
+        model, train, val,
+        config=_config(tmp_path, checkpoint_moments_bf16=True),
+    )
+    trainer.state = trainer.init_state()
+    trainer.train_epoch(0)  # make the moments nonzero
+    trainer.save_checkpoint("m16", epoch=0)
+
+    # on-disk dtype: every f32 opt-state leaf was cast
+    raw = __import__(
+        "topo_audio_autoencoder_tpu.training.checkpoint",
+        fromlist=["CheckpointManager"],
+    ).CheckpointManager(tmp_path).restore("m16")
+    on_disk = [np.asarray(a).dtype for a in jax.tree.leaves(raw["opt_state"])]
+    assert any(d == jnp.bfloat16 for d in on_disk)
+    assert not any(d == np.float32 for d in on_disk)
+
+    t2 = Trainer(
+        model, train, val,
+        config=_config(tmp_path, checkpoint_moments_bf16=True),
+    )
+    t2.load_checkpoint("m16")
+    live, rest = trainer.state, t2.state
+    for a, b in zip(jax.tree.leaves(live.params), jax.tree.leaves(rest.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree.leaves(live.opt_state), jax.tree.leaves(rest.opt_state)
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.dtype == b.dtype  # restored to the live dtypes
+        if a.dtype == np.float32:
+            np.testing.assert_allclose(a, b, rtol=8e-3, atol=1e-6)
+        else:
+            np.testing.assert_array_equal(a, b)
+    # the resumed trainer keeps training without error
+    t2.train_epoch(1)

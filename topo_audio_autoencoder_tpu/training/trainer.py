@@ -54,6 +54,32 @@ from .train_step import (
 )
 
 
+def _moments_to_bf16(state):
+    """Cast every f32 leaf of the optimizer state to bf16 (params and the
+    integer step/count leaves untouched)."""
+    return state._replace(
+        opt_state=jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32
+            else a,
+            state.opt_state,
+        )
+    )
+
+
+_moments_to_bf16_jit = jax.jit(_moments_to_bf16)
+
+
+def _cast_like(tree, template):
+    """Cast each leaf of ``tree`` to the dtype of the matching
+    ``template`` leaf (host-side; used to undo the bf16 moment cast)."""
+    return jax.tree.map(
+        lambda a, t: a.astype(t.dtype) if a.dtype != t.dtype else a,
+        tree,
+        template,
+    )
+
+
 @dataclass
 class TrainerConfig:
     """All knobs of the reference Trainer ctor (trainer.py:50-72) that
@@ -109,6 +135,14 @@ class TrainerConfig:
     # flagship state is ~8 s — measured to dominate the epoch otherwise).
     # The snapshot copy makes this safe under donated train-step buffers.
     async_checkpoint: bool = True
+    # Save optimizer moments bfloat16: the Adam mu/nu are ~2/3 of a train
+    # state's bytes (the n=32 state is ~1 GB; one save = D2H at ~40 MB/s
+    # + single-core serialize ≈ 150 s, 3x the epoch). The cast runs
+    # on-device BEFORE the fetch, so it shrinks the D2H too. Moments are
+    # restored to their original dtype on resume; params are never cast.
+    # Resumed trajectories deviate by the bf16 rounding of mu/nu only
+    # (parity-tested in tests/test_trainer.py).
+    checkpoint_moments_bf16: bool = False
 
 
 class Trainer:
@@ -151,6 +185,7 @@ class Trainer:
         self.state: TrainState | None = None
         self._ckpt_thread = None  # at most one async save in flight
         self._snapshot_fn = None  # lazy: jitted device-side state copy
+        self._snapshot_cast = None  # moments-bf16 flag the snapshot fn bakes
 
     # ------------------------------------------------------------ setup
 
@@ -646,6 +681,11 @@ class Trainer:
         # module without the user re-supplying --vertices/--hidden/--layers
         # (a silent mismatch decodes garbage).
         extra["model"] = self.model.geometry()
+        cast_moments = self.cfg.checkpoint_moments_bf16
+        if cast_moments:
+            # Stamped so load_checkpoint builds a bf16-moment template for
+            # the Orbax restore, then casts back to the live dtypes.
+            extra["moments_dtype"] = "bfloat16"
         if epoch is not None:
             from dataclasses import asdict
 
@@ -666,12 +706,19 @@ class Trainer:
 
         self.finish_checkpoints()
         if block:
-            _write(self.state)
-            return
-        if self._snapshot_fn is None:
-            self._snapshot_fn = jax.jit(
-                lambda s: jax.tree.map(jnp.copy, s)
+            state = (
+                _moments_to_bf16_jit(self.state) if cast_moments else self.state
             )
+            _write(state)
+            return
+        if self._snapshot_fn is None or self._snapshot_cast != cast_moments:
+
+            def snap(s):
+                s = jax.tree.map(jnp.copy, s)
+                return _moments_to_bf16(s) if cast_moments else s
+
+            self._snapshot_fn = jax.jit(snap)
+            self._snapshot_cast = cast_moments
         snap = self._snapshot_fn(self.state)
 
         def _guarded():
@@ -703,7 +750,17 @@ class Trainer:
         ckpt = CheckpointManager(directory or self.checkpoint_dir)
         if self.state is None:
             self.state = self.init_state()
-        self.state = ckpt.restore(name, template=self.state)
+        # The sidecar says whether moments were saved bf16
+        # (checkpoint_moments_bf16): restore against a matching-dtype
+        # template, then cast back to the live state's dtypes.
+        extra = ckpt.load_extra(name)
+        template = self.state
+        if (extra or {}).get("moments_dtype") == "bfloat16":
+            template = _moments_to_bf16(template)
+        restored = ckpt.restore(name, template=template)
+        self.state = restored._replace(
+            opt_state=_cast_like(restored.opt_state, self.state.opt_state)
+        )
         if self.mesh is not None:
             # restore() returns host numpy arrays; under data parallelism
             # the state must be re-replicated across the mesh exactly as
@@ -711,7 +768,6 @@ class Trainer:
             from ..parallel import replicate
 
             self.state = replicate(self.state, self.mesh)
-        extra = ckpt.load_extra(name)
         if extra:
             self._build(
                 extra["encoder_lr"],
