@@ -446,3 +446,52 @@ def test_packed_combine_parity_interpret():
     for name, a, b in zip(("dcar", "dx", "dv", "dw1", "db1", "dw2"), g_ref, g_pk):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+# NOTE: the learned-stretch kernel itself (on-chip PRNG) cannot run in
+# interpret mode on this jax version (prng_seed has no CPU lowering, like
+# the fixed sampler kernels); its on-chip parity against the fixed kernel
+# at default stretch is probed on TPU by benchmarks/probe_learned_kernel.py.
+
+
+def test_learned_hc_fused_diff_matches_autodiff_on_fallback():
+    """On CPU the learned fused sampler falls back to the pure-JAX
+    hard_concrete, so the custom closed-form VJP must equal autodiff of
+    that same primal — including the stretch-parameter cotangents."""
+    import jax
+    import jax.numpy as jnp
+    from topo_audio_autoencoder_tpu.ops import pallas_kernels as pk
+    from topo_audio_autoencoder_tpu.ops import samplers
+
+    rng = np.random.default_rng(1)
+    la = jnp.asarray(rng.standard_normal((3, 40)), jnp.float32)
+    beta = jnp.asarray(0.4 + 0.5 * rng.random(40), jnp.float32)
+    gamma = jnp.asarray(-0.2 * rng.random(40) - 0.01, jnp.float32)
+    zeta = jnp.asarray(1.0 + 0.3 * rng.random(40) + 0.01, jnp.float32)
+    key = jax.random.PRNGKey(5)
+    ct = jnp.asarray(rng.standard_normal((3, 40)), jnp.float32)
+
+    def ref(la, beta, gamma, zeta):
+        z = samplers.hard_concrete(
+            la, key, beta,
+            samplers.HardConcreteParams(gamma=gamma, zeta=zeta), True,
+        )
+        return (z * ct).sum()
+
+    def fused(la, beta, gamma, zeta):
+        z = pk.hard_concrete_fused_learned_diff(
+            la, key, beta, gamma, zeta, True
+        )
+        return (z * ct).sum()
+
+    # identical primal (same fallback), so gradients must agree
+    np.testing.assert_allclose(
+        float(ref(la, beta, gamma, zeta)), float(fused(la, beta, gamma, zeta)),
+        rtol=1e-6,
+    )
+    g_ref = jax.grad(ref, argnums=(0, 1, 2, 3))(la, beta, gamma, zeta)
+    g_fused = jax.grad(fused, argnums=(0, 1, 2, 3))(la, beta, gamma, zeta)
+    for a, b, name in zip(g_ref, g_fused, ("la", "beta", "gamma", "zeta")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5, err_msg=name
+        )

@@ -253,16 +253,25 @@ class AudioEncoder(nn.Module):
         # Bernoulli draw, so gumbel+hard uses no sampling noise here.
         if self.sampler == "hard_concrete":
             if self.learned_hc:
-                # Learned per-rank stretch: the fused Pallas kernel bakes
-                # the default (beta from the schedule, gamma/zeta consts),
-                # so the learned path always uses the pure-JAX sampler —
-                # the extra cost is three [S] broadcasts, noise.
+                # Learned per-rank stretch: beta/gamma/zeta ride the fused
+                # kernel as [1, S] row operands (closed-form VJP extended
+                # to the stretch cotangents) — the learned path shares the
+                # north-star one-kernel sampler with the fixed stretch.
                 beta, gamma, zeta = self._hc_stretch(biased.dtype)
-                probs_all = hard_concrete(
-                    biased, sample_rng, beta,
-                    HardConcreteParams(gamma=gamma, zeta=zeta),
-                    training=train,
-                )
+                if self.use_fused_sampler and train and sample_rng is not None:
+                    from ..ops.pallas_kernels import (
+                        hard_concrete_fused_learned_diff,
+                    )
+
+                    probs_all = hard_concrete_fused_learned_diff(
+                        biased, sample_rng, beta, gamma, zeta, True
+                    )
+                else:
+                    probs_all = hard_concrete(
+                        biased, sample_rng, beta,
+                        HardConcreteParams(gamma=gamma, zeta=zeta),
+                        training=train,
+                    )
             elif self.use_fused_sampler and train and sample_rng is not None:
                 from ..ops.pallas_kernels import hard_concrete_fused_diff
 
