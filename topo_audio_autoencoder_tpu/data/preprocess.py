@@ -61,8 +61,21 @@ def preprocess_split(
     out_dir.mkdir(parents=True, exist_ok=True)
     packed = np.zeros((len(wav_paths), clip_samples), dtype=np.float32)
     names = []
+    # Native decode when the C++ runtime is available (RIFF parse +
+    # resample in native/audio_loader.cpp); scipy fallback otherwise.
+    # A/B at 10k files: benchmarks/real_data_rehearsal.py.
+    from .native_loader import load_wav_native, native_available
+
+    use_native = native_available()
     for i, p in enumerate(wav_paths):
-        x = load_wav(p, target_sr)[:clip_samples]
+        x = (
+            load_wav_native(p, max_samples=clip_samples, target_sr=target_sr)
+            if use_native
+            else None
+        )
+        if x is None:
+            x = load_wav(p, target_sr)
+        x = x[:clip_samples]
         packed[i, : len(x)] = x
         names.append(Path(p).stem)
     np.save(out_dir / f"{split}.npy", packed)
