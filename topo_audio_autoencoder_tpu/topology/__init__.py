@@ -13,8 +13,11 @@ from .builder import (
     same_rank_matmul,
     dense_adjacency,
 )
+from .packed import PackedOperators, build_packed_operators
 
 __all__ = [
+    "PackedOperators",
+    "build_packed_operators",
     "ComplexTables",
     "build_tables",
     "RANK_NAMES",
