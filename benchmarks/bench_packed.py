@@ -12,7 +12,8 @@ Measures, same batch/keys/chain protocol for each variant:
 and a decode-only A/B (the codec path, where packing is exact and the
 attention memory shrinks from 41,416 to 496+K2+K3 keys).
 
-Usage: python benchmarks/bench_packed.py [--b N] [--g N] [--k2 N] [--k3 N]
+Usage: python benchmarks/bench_packed.py [--n V] [--b N] [--g N]
+       [--k2 N] [--k3 N]
        [--skip-dense]  # when the dense number is already on record
 """
 import os, sys, time
@@ -133,10 +134,11 @@ def main():
         print(json.dumps({"metric": "packed_ab", "error": "tpu_backend_unavailable"}),
               flush=True)
         return
+    n = arg("--n", 32)
     b, g, t = arg("--b", 32), arg("--g", 3), 64000
     k2, k3 = arg("--k2", 512), arg("--k3", 256)
-    kw = dict(num_vertices=32, num_bands=16, sccn_hidden_dim=64,
-              n_sccn_layers=6, max_active_vertices=32)
+    kw = dict(num_vertices=n, num_bands=16, sccn_hidden_dim=64,
+              n_sccn_layers=6, max_active_vertices=n)
 
     results = {}
     if "--skip-dense" not in sys.argv:
