@@ -44,6 +44,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# JAX_PLATFORMS=cpu in the env is beaten by the site plugin's
+# programmatic TPU config (CLAUDE.md); honor it through the config API
+# so CPU smokes never open a TPU client under a live training job.
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 
 def _arg(name, default, cast=int):
     if name in sys.argv:

@@ -275,3 +275,39 @@ def test_packed_train_forward_and_grads_finite():
     # embedding-table grads must flow through the packed gather
     emb = grads["params"]["encoder"]["embed_rank3"]
     assert float(jnp.abs(emb).sum()) > 0
+
+
+def test_packed_ste_hard_path_grads_finite():
+    """Packing composes with the STE hard path (the val-total winner):
+    binary out-probs select the packed set exactly; straight-through
+    gradients flow through the packed gathers."""
+    from topo_audio_autoencoder_tpu.models import AudioAutoencoder
+
+    model = AudioAutoencoder.create(
+        num_vertices=8, num_bands=16, sccn_hidden_dim=16, n_sccn_layers=2,
+        max_active_vertices=8, hard=True, pack_capacities=(0, 0, 28, 35),
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 1, 4096)), jnp.float32
+    )
+    params = model.jit_init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x,
+    )
+
+    @jax.jit
+    def loss_fn(p):
+        out = model.apply(
+            p, x, 1.0, jax.random.PRNGKey(2), True,
+            rngs={"dropout": jax.random.PRNGKey(3)},
+        )
+        return jnp.abs(out.waveform).mean()
+
+    val, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(val))
+    assert all(
+        np.isfinite(np.asarray(g)).all() for g in jax.tree.leaves(grads)
+    )
+    # STE: logits must receive gradient through the hard packed latent
+    mlp = grads["params"]["encoder"]["mlp2"]["kernel"]
+    assert float(jnp.abs(mlp).sum()) > 0
