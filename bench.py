@@ -299,6 +299,40 @@ def main() -> None:
     except Exception as e:
         _log(f"n=32 extra failed (headline already emitted): {e!r}")
 
+    # --- extras 3: the PACKED n=32 step (topology/packed.py — the round-5
+    # quality flagship trains this path: 8.9x the dense step and a better
+    # best val, benchmarks/RESULTS.md "Packed training holds quality"). ---
+    if time.time() - T_START > EXTRAS_BUDGET_SECS:
+        _log("skipping packed extra (budget spent)")
+        return
+    try:
+        packed32 = AudioAutoencoder.create(
+            num_vertices=32, num_bands=16, sccn_hidden_dim=64,
+            n_sccn_layers=6, max_active_vertices=32,
+            pack_capacities=(0, 0, 512, 256),
+        )
+        _log("init packed n=32 params (jit_init)...")
+        statep = create_train_state(
+            packed32, optimizer, jax.random.PRNGKey(0), (1, 1, t)
+        )
+        stepp = make_train_step(
+            packed32,
+            optimizer,
+            compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+            donate=False,
+        )
+        _log("compiling packed n=32 G=3 step...")
+        compiled_p = stepp.lower(statep, batch_n32, temp, key).compile()
+        dtp = _measure_compiled(
+            compiled_p, statep, batch_n32, temp, key, k1=3, k2=13
+        )
+        extras["n32_packed_step_ms_b32_g3"] = round(dtp * 1e3, 3)
+        extras["n32_packed_clips_per_sec"] = round(b32 / dtp, 1)
+        extras["n32_packed_speedup"] = round(dt32 / dtp, 2)
+        write_extras(f"packed n=32 {dtp * 1e3:.1f} ms/step")
+    except Exception as e:
+        _log(f"packed extra failed (headline already emitted): {e!r}")
+
 
 if __name__ == "__main__":
     try:
